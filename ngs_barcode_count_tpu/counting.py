@@ -1,0 +1,162 @@
+"""Count stores: the TPU equivalents of the reference's ``Results``
+hashmaps (info.rs:661-809).
+
+Three accumulation paths, chosen once from the scheme + conversion files
+(mirroring the reference's enum choice at info.rs:683-690):
+
+- **DenseCounts** — sample file (or no sample region) + counted file, no
+  random barcode: the whole store is a device-resident
+  ``[n_samples * prod(n_codes)]`` int32 tensor updated by scatter-add
+  inside the jitted step; nothing crosses the host boundary per batch
+  except the 6 counters.
+- **KeyedCounts** — raw-DNA modes (missing conversion files): the device
+  emits extracted slot codes; the host packs them into 64-bit keys, folds
+  each batch with ``np.unique`` (one dict op per *distinct* key, not per
+  read), and keeps a Python dict.
+- **RandomDedup** — random-barcode schemes: PCR duplicates collapse via a
+  sorted-unique key array on the host; the count for a combo is the
+  cardinality of its random-barcode set (info.rs:770-801), and re-seen
+  keys increment the duplicates counter (parse.rs:65-69).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ngs_barcode_count_tpu import dna
+
+
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Pack [B, len] int8 base codes into [B] uint64 keys (3 bits/base,
+    supports N and other); lengths > 21 fold into 64 bits with a shifted
+    xor, which is collision-free for <= 21 and a hash beyond."""
+    codes = np.asarray(codes)
+    if codes.shape[1] <= 21:
+        return dna.pack_3bit(codes, axis=1)
+    out = np.zeros(codes.shape[0], dtype=np.uint64)
+    for start in range(0, codes.shape[1], 21):
+        chunk = dna.pack_3bit(codes[:, start : start + 21], axis=1)
+        out = (out * np.uint64(0x9E3779B97F4A7C15)) ^ chunk
+    return out
+
+
+class DenseCounts:
+    """Device-side dense count tensor; finalized to per-sample dicts for
+    the writers."""
+
+    def __init__(self, n_samples: int, combo_radix: tuple[int, ...]):
+        self.n_samples = n_samples
+        self.combo_radix = combo_radix
+        n_combos = int(np.prod(combo_radix)) if combo_radix else 1
+        self.n_combos = n_combos
+
+    def initial(self):
+        import jax.numpy as jnp
+
+        return jnp.zeros(self.n_samples * self.n_combos, dtype=jnp.int32)
+
+    def unflatten_combo(self, flat: np.ndarray) -> tuple[np.ndarray, ...]:
+        """Flat combo index -> per-position barcode indices."""
+        idxs = []
+        for r in reversed(self.combo_radix):
+            idxs.append(flat % r)
+            flat = flat // r
+        return tuple(reversed(idxs))
+
+    def to_numpy(self, counts) -> np.ndarray:
+        return np.asarray(counts).reshape(self.n_samples, self.n_combos)
+
+
+@dataclass
+class KeyedCounts:
+    """Host dict keyed by packed (sample, barcodes...) tuples.
+
+    Keys are tuples of uint64 pack values; values are counts.  Batch
+    updates pre-aggregate with np.unique so dict traffic is per distinct
+    combo, not per read.
+    """
+
+    counts: dict[tuple[int, ...], int] = field(default_factory=dict)
+
+    def add_batch(self, key_cols: list[np.ndarray], mask: np.ndarray) -> None:
+        if not len(mask) or not mask.any():
+            return
+        keys = np.stack([np.asarray(c)[mask] for c in key_cols], axis=1)
+        uniq, cnt = np.unique(keys, axis=0, return_counts=True)
+        for row, c in zip(uniq, cnt):
+            k = tuple(int(v) for v in row)
+            self.counts[k] = self.counts.get(k, 0) + int(c)
+
+
+class RandomDedup:
+    """Sorted-unique uint64-tuple store for PCR-duplicate collapse.
+
+    ``observe`` returns the number of NEW (sample, combo, random) triples
+    in the batch; duplicates = batch size - new.  Memory is one uint64 row
+    per unique triple (128-bit key packed into two columns), merged
+    incrementally — the multi-host story is a gather of these arrays (or
+    a bitmap union) at flush (SURVEY.md section 5, C15).
+    """
+
+    def __init__(self) -> None:
+        self._keys = np.zeros((0, 2), dtype=np.uint64)
+
+    @staticmethod
+    def _compose(cols: list[np.ndarray]) -> np.ndarray:
+        """Fold n key columns into 2 uint64 columns (collision-resistant
+        mix in col 0, raw xor-chain in col 1)."""
+        acc0 = np.zeros(len(cols[0]), dtype=np.uint64)
+        acc1 = np.zeros(len(cols[0]), dtype=np.uint64)
+        for i, c in enumerate(cols):
+            c = np.asarray(c, dtype=np.uint64)
+            acc0 = (acc0 * np.uint64(0x9E3779B97F4A7C15)) ^ c
+            acc1 ^= np.left_shift(c, np.uint64((21 * i) % 63)) | np.right_shift(
+                c, np.uint64(64 - (21 * i) % 63) % np.uint64(64)
+            )
+        return np.stack([acc0, acc1], axis=1)
+
+    def observe(self, key_cols: list[np.ndarray], mask: np.ndarray):
+        """Returns (new_mask) over the masked rows' original positions:
+        boolean array aligned with ``mask`` marking reads that are NEW."""
+        new_mask = np.zeros(len(mask), dtype=bool)
+        if not mask.any():
+            return new_mask
+        comp = self._compose([np.asarray(c)[mask] for c in key_cols])
+        # view as void for row-wise unique/searchsorted
+        order = np.lexsort((comp[:, 1], comp[:, 0]))
+        comp_sorted = comp[order]
+        # first occurrence within the batch
+        first_in_batch = np.ones(len(comp), dtype=bool)
+        same_as_prev = np.all(comp_sorted[1:] == comp_sorted[:-1], axis=1)
+        first_sorted = np.ones(len(comp), dtype=bool)
+        first_sorted[1:] = ~same_as_prev
+        first_in_batch[order] = first_sorted
+        # membership against the global store (sorted rows)
+        if len(self._keys):
+            pos = np.searchsorted(self._keys[:, 0], comp[:, 0])
+            pos = np.clip(pos, 0, len(self._keys) - 1)
+            # keys with equal col0 may span a range; scan both columns
+            in_store = np.zeros(len(comp), dtype=bool)
+            # check a small neighborhood for col0 collisions
+            for delta in range(0, 4):
+                p = np.clip(pos + delta, 0, len(self._keys) - 1)
+                hit = (self._keys[p, 0] == comp[:, 0]) & (
+                    self._keys[p, 1] == comp[:, 1]
+                )
+                in_store |= hit
+        else:
+            in_store = np.zeros(len(comp), dtype=bool)
+        is_new = first_in_batch & ~in_store
+        # merge new keys into the sorted store
+        if is_new.any():
+            merged = np.concatenate([self._keys, comp[is_new]], axis=0)
+            order2 = np.lexsort((merged[:, 1], merged[:, 0]))
+            self._keys = merged[order2]
+        new_mask[np.flatnonzero(mask)] = is_new
+        return new_mask
+
+    @property
+    def size(self) -> int:
+        return len(self._keys)

@@ -1,0 +1,447 @@
+"""The batched decode step: the TPU-native core engine.
+
+This replaces the reference's entire per-read hot path (SequenceParser,
+parse.rs:53-163 + fix_error parse.rs:553-593) with one jitted function over
+a ``[B, L]`` batch of reads:
+
+1.  **Offset scan** — the reference regex-searches each read for the format
+    (constants exact, explicit-N runs ``[AGCT]``, barcode slots ``.{n}``;
+    parse.rs:92).  Here a single strided convolution of the one-hot read
+    tensor against three per-position format masks yields, for every
+    alignment offset at once: strict constant matches, N-wildcard-relaxed
+    constant matches, and wild-position ACGT counts.  The leftmost offset
+    where (strict == n_const and wild == n_wild) is the regex match.
+2.  **Constant-region repair** — when no offset matches exactly, the
+    reference slides a window over offsets ``0..len-F`` (exclusive; the
+    final alignment is never tried — parse.rs:291-304) and picks the
+    unique best window with mismatches <= budget via fix_error, treating
+    'N' on either side as a wildcard.  That is exactly the relaxed channel
+    of the same convolution: masked argmin with a tie-drop (count of
+    minima != 1 => drop, parse.rs:577-592).
+3.  **Quality gate** — the reference averages Phred scores over each
+    non-constant region run, skipping the final run (loop-end bug,
+    parse.rs:331-375) and, for repaired reads, reading scores from
+    position 0 rather than the matched window (parse.rs:98-119 after
+    repair rewrites the read).  Reproduced bit-for-bit.
+4.  **Barcode matching** — the reference's fix_error linear scan becomes a
+    one-hot read-slot x one-hot candidate-matrix matmul on the MXU:
+    match-count per candidate, argmin of mismatches, dropped when the
+    minimum is not unique or exceeds the budget (parse.rs:438-524).
+5.  **Counting** — per-read (sample, combo) flat indices scatter-add into
+    a dense count tensor (info.rs:735-808's hashmap becomes
+    ``[n_samples * prod(n_codes)]``), and six error counters are summed
+    masks (info.rs:16-23's atomics become one ``[6]`` vector).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngs_barcode_count_tpu import dna
+from ngs_barcode_count_tpu import stats
+from ngs_barcode_count_tpu.conversions import BarcodeConversions
+from ngs_barcode_count_tpu.errors import MaxSeqErrors
+from ngs_barcode_count_tpu.scheme import (
+    KIND_CONST,
+    KIND_WILD,
+    SequenceScheme,
+    Slot,
+)
+
+_BIG = np.int32(1 << 20)
+
+
+@dataclass(frozen=True)
+class QualitySegment:
+    """A non-constant run of the reference's regions_string that gets a
+    mean-quality check (parse.rs:331-375).  ``start`` indexes the
+    regions_string (which EXCLUDES explicit-N runs), matching the
+    reference's zip of scores with regions_string."""
+
+    start: int
+    length: int
+
+
+def quality_segments(regions_string: str) -> list[QualitySegment]:
+    """Maximal non-'C' runs that are followed by a different region code.
+    The final run is never flushed by the reference's loop, so a trailing
+    non-constant region is never checked — reproduced here."""
+    segs: list[QualitySegment] = []
+    i = 0
+    n = len(regions_string)
+    while i < n:
+        j = i
+        while j < n and regions_string[j] == regions_string[i]:
+            j += 1
+        if regions_string[i] != "C" and j < n:
+            segs.append(QualitySegment(start=i, length=j - i))
+        i = j
+    return segs
+
+
+@dataclass(frozen=True, eq=False)  # identity hash: used as a jit static arg
+class DecodePlan:
+    """Static decode configuration compiled from scheme + conversions.
+
+    Everything here is Python/NumPy constants closed over by the jitted
+    step, so XLA sees a fully static program.
+    """
+
+    scheme: SequenceScheme
+    max_errors: MaxSeqErrors
+    # Matching matrices (None => raw-DNA mode for that region)
+    sample_onehot: np.ndarray | None  # [n_samples, Ls*4] int8
+    sample_n_mask: np.ndarray | None
+    counted_onehots: tuple[np.ndarray, ...] | None  # per position
+    counted_n_masks: tuple[np.ndarray, ...] | None
+    qual_segments: tuple[QualitySegment, ...]
+    min_quality: float
+
+    @property
+    def dense_sample(self) -> bool:
+        """Sample index is a dense id (file given, or no sample region)."""
+        return self.sample_onehot is not None or self.scheme.sample_slot is None
+
+    @property
+    def dense_counted(self) -> bool:
+        return self.counted_onehots is not None
+
+    @property
+    def dense_counts(self) -> bool:
+        """Counts accumulate fully on device: dense ids and no random
+        barcode (random needs host-side PCR-duplicate dedup)."""
+        return (
+            self.dense_sample
+            and self.dense_counted
+            and not self.scheme.random_barcode
+        )
+
+    @property
+    def n_samples(self) -> int:
+        if self.scheme.sample_slot is None:
+            return 1
+        return self.sample_onehot.shape[0] if self.sample_onehot is not None else 0
+
+    @property
+    def combo_radix(self) -> tuple[int, ...]:
+        assert self.counted_onehots is not None
+        return tuple(oh.shape[0] for oh in self.counted_onehots)
+
+    @property
+    def n_combos(self) -> int:
+        n = 1
+        for r in self.combo_radix:
+            n *= r
+        return n
+
+
+def make_plan(
+    scheme: SequenceScheme,
+    conversions: BarcodeConversions,
+    max_errors: MaxSeqErrors,
+) -> DecodePlan:
+    sample_oh = sample_nm = None
+    if conversions.sample_set is not None and conversions.sample_set.count:
+        sample_oh = conversions.sample_set.onehot
+        sample_nm = conversions.sample_set.n_mask
+    counted_oh = counted_nm = None
+    if conversions.counted_sets:
+        counted_oh = tuple(s.onehot for s in conversions.counted_sets)
+        counted_nm = tuple(s.n_mask for s in conversions.counted_sets)
+    return DecodePlan(
+        scheme=scheme,
+        max_errors=max_errors,
+        sample_onehot=sample_oh,
+        sample_n_mask=sample_nm,
+        counted_onehots=counted_oh,
+        counted_n_masks=counted_nm,
+        qual_segments=tuple(quality_segments(scheme.regions_string)),
+        min_quality=max_errors.min_quality,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Offset scan (regex search + repair window scan fused into one conv)
+# ---------------------------------------------------------------------------
+
+
+def _format_filters(scheme: SequenceScheme) -> np.ndarray:
+    """Conv filters [3 out_channels, 5 in_channels, F].
+
+    ch0 strict-const: 1 at (fmt base) for constant positions.
+    ch1 wild-acgt:    1 at A,C,G,T for explicit-N positions.
+    ch2 relax-const:  1 at (fmt base) and at N for constant positions
+                      (read 'N' is a wildcard in fix_error, parse.rs:569).
+    """
+    F = scheme.length
+    w = np.zeros((3, 5, F), dtype=np.float32)
+    for p in range(F):
+        k = scheme.kind[p]
+        if k == KIND_CONST:
+            b = int(scheme.fmt_codes[p])
+            w[0, b, p] = 1.0
+            w[2, b, p] = 1.0
+            w[2, dna.N, p] = 1.0
+        elif k == KIND_WILD:
+            w[1, 0:4, p] = 1.0
+    return w
+
+
+def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
+    """For each read: the regex-match offset (leftmost exact), the repair
+    offset (unique best window), and validity flags.
+
+    Returns (has_exact, exact_off, repair_ok, rep_off, wild_ok_at, mism_min).
+    """
+    scheme = plan.scheme
+    B, L = bases.shape
+    F = scheme.length
+    O = L - F + 1
+    n_const = int(np.sum(scheme.kind == KIND_CONST))
+    n_wild = int(np.sum(scheme.kind == KIND_WILD))
+
+    # One-hot read over 5 strict channels; float for the MXU conv.
+    x = (bases[:, None, :] == jnp.arange(5, dtype=bases.dtype)[None, :, None])
+    x = x.astype(jnp.float32)  # [B, 5, L]
+    w = jnp.asarray(_format_filters(scheme))  # [3, 5, F]
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32,
+    )  # [B, 3, O]
+    strict = out[:, 0, :].astype(jnp.int32)
+    wild = out[:, 1, :].astype(jnp.int32)
+    relax = out[:, 2, :].astype(jnp.int32)
+
+    offs = jnp.arange(O, dtype=jnp.int32)[None, :]
+    lengths = lengths.astype(jnp.int32)[:, None]
+    # Regex can match wherever the window fits inside the true read.
+    in_range = offs + F <= lengths
+    wild_ok = wild == n_wild
+    exact = (strict == n_const) & wild_ok & in_range
+    has_exact = jnp.any(exact, axis=1)
+    exact_off = jnp.argmax(exact, axis=1).astype(jnp.int32)  # leftmost True
+
+    # Repair windows: the reference iterates 0..(len - F) EXCLUSIVE
+    # (parse.rs:295), so the final alignment is never tried.
+    rep_in_range = offs + F < lengths
+    mism = jnp.where(rep_in_range, n_const - relax, _BIG)
+    mism_min = jnp.min(mism, axis=1)
+    rep_off = jnp.argmin(mism, axis=1).astype(jnp.int32)
+    n_best = jnp.sum((mism == mism_min[:, None]) & rep_in_range, axis=1)
+    repair_ok = (
+        (mism_min <= plan.max_errors.constant_region)
+        & (n_best == 1)
+        # After repair the regex re-runs on the rebuilt read: explicit-N
+        # positions must be A/C/G/T there too (info.rs:287-295's [AGCT]).
+        & jnp.take_along_axis(wild_ok, rep_off[:, None], axis=1)[:, 0]
+    )
+    return has_exact, exact_off, repair_ok, rep_off
+
+
+# ---------------------------------------------------------------------------
+# Slot extraction and Hamming-argmin matching
+# ---------------------------------------------------------------------------
+
+
+def extract_slot(
+    bases: jnp.ndarray, offset: jnp.ndarray, slot: Slot
+) -> jnp.ndarray:
+    """Gather ``[B, slot.length]`` codes at (per-read offset + slot.offset)."""
+    idx = offset[:, None] + jnp.arange(
+        slot.offset, slot.offset + slot.length, dtype=jnp.int32
+    )[None, :]
+    return jnp.take_along_axis(bases, idx, axis=1)
+
+
+def match_barcodes(
+    slot_codes: jnp.ndarray,
+    onehot: np.ndarray,
+    n_mask: np.ndarray,
+    budget: int,
+):
+    """Error-tolerant match of extracted slots against a barcode set.
+
+    The reference's fix_error (parse.rs:553-593) scans candidates counting
+    mismatches where neither char is 'N', keeps the unique best <= budget.
+    Encoding the read with N = all-ones and candidates one-hot makes the
+    per-position dot product the match indicator, so the MXU computes all
+    mismatch counts at once; a both-N position double-counts (dot = 4) and
+    is corrected with a second small matmul only when the candidate set
+    actually contains Ns.
+
+    Returns (idx [B] int32, ok [B] bool).
+    """
+    B, sl = slot_codes.shape
+    r = (slot_codes[..., None] == jnp.arange(4, dtype=slot_codes.dtype)) | (
+        slot_codes == dna.N
+    )[..., None]
+    r = r.reshape(B, sl * 4).astype(jnp.float32)
+    matches = jnp.dot(
+        r, jnp.asarray(onehot, dtype=jnp.float32).T,
+        preferred_element_type=jnp.float32,
+    )
+    if n_mask.any():
+        read_n = (slot_codes == dna.N).astype(jnp.float32)
+        matches = matches - 3.0 * jnp.dot(
+            read_n, jnp.asarray(n_mask, dtype=jnp.float32).T,
+            preferred_element_type=jnp.float32,
+        )
+    m = sl - matches.astype(jnp.int32)  # [B, n_codes] mismatch counts
+    m_min = jnp.min(m, axis=1)
+    idx = jnp.argmin(m, axis=1).astype(jnp.int32)
+    unique = jnp.sum(m == m_min[:, None], axis=1) == 1
+    ok = (m_min <= budget) & unique
+    return idx, ok
+
+
+# ---------------------------------------------------------------------------
+# Quality gate
+# ---------------------------------------------------------------------------
+
+
+def low_quality_mask(
+    plan: DecodePlan, quals: jnp.ndarray, qual_start: jnp.ndarray
+) -> jnp.ndarray:
+    """True where any checked region's mean Phred < min_quality.
+
+    Scores index from ``qual_start`` + regions_string position, exactly as
+    the reference zips ``quality_scores().skip(start)`` with
+    regions_string (parse.rs:340-345) — including the quirk that for
+    repaired reads start is 0.
+    """
+    if not plan.qual_segments:
+        return jnp.zeros(quals.shape[0], dtype=bool)
+    bad = jnp.zeros(quals.shape[0], dtype=bool)
+    for seg in plan.qual_segments:
+        idx = qual_start[:, None] + jnp.arange(
+            seg.start, seg.start + seg.length, dtype=jnp.int32
+        )[None, :]
+        seg_q = jnp.take_along_axis(quals, idx, axis=1).astype(jnp.float32)
+        bad = bad | (jnp.mean(seg_q, axis=1) < plan.min_quality)
+    return bad
+
+
+# ---------------------------------------------------------------------------
+# The full decode step
+# ---------------------------------------------------------------------------
+
+
+def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
+    """Decode one batch.  Returns a dict of per-read results + counters.
+
+    ``read_mask`` marks real reads (the final batch of a file is padded to
+    the static batch size).
+    """
+    scheme = plan.scheme
+    F = scheme.length
+    lengths = lengths.astype(jnp.int32)
+    len_ok = (lengths >= F) & read_mask
+
+    has_exact, exact_off, repair_ok, rep_off = scan_offsets(plan, bases, lengths)
+    const_ok = len_ok & (has_exact | repair_ok)
+    offset = jnp.where(has_exact, exact_off, rep_off)
+    # Reference quirk: a repaired read's rebuilt sequence starts at 0, so
+    # quality is read from position 0, not the matched window.
+    qual_start = jnp.where(has_exact, exact_off, 0)
+
+    if plan.min_quality > 0.0:
+        lowq = const_ok & low_quality_mask(plan, quals, qual_start)
+    else:
+        lowq = jnp.zeros_like(const_ok)
+    alive = const_ok & ~lowq
+
+    out = {}
+
+    # Sample barcode
+    if scheme.sample_slot is None:
+        sample_idx = jnp.zeros(bases.shape[0], dtype=jnp.int32)
+        sample_ok = alive
+    else:
+        sample_codes = extract_slot(bases, offset, scheme.sample_slot)
+        if plan.sample_onehot is not None:
+            sample_idx, s_ok = match_barcodes(
+                sample_codes,
+                plan.sample_onehot,
+                plan.sample_n_mask,
+                plan.max_errors.sample_barcode,
+            )
+            sample_ok = alive & s_ok
+        else:
+            # Raw-DNA sample mode: emit the codes; host keys by sequence.
+            out["sample_codes"] = sample_codes
+            sample_idx = jnp.zeros(bases.shape[0], dtype=jnp.int32)
+            sample_ok = alive
+    sample_err = alive & ~sample_ok
+
+    # Counted barcodes
+    counted_ok = sample_ok
+    if plan.counted_onehots is not None:
+        combo_flat = jnp.zeros(bases.shape[0], dtype=jnp.int32)
+        for i, slot in enumerate(scheme.barcode_slots):
+            codes = extract_slot(bases, offset, slot)
+            idx, ok = match_barcodes(
+                codes,
+                plan.counted_onehots[i],
+                plan.counted_n_masks[i],
+                plan.max_errors.barcode[i],
+            )
+            counted_ok = counted_ok & ok
+            combo_flat = combo_flat * plan.combo_radix[i] + idx
+        out["combo_flat"] = combo_flat
+    else:
+        # Raw-DNA counted mode: emit per-slot codes for host keying.
+        out["counted_codes"] = [
+            extract_slot(bases, offset, slot) for slot in scheme.barcode_slots
+        ]
+    barcode_err = sample_ok & ~counted_ok
+    valid = counted_ok
+
+    if scheme.random_slot is not None:
+        out["random_codes"] = extract_slot(bases, offset, scheme.random_slot)
+
+    counters = jnp.zeros(stats.NUM_COUNTERS, dtype=jnp.int32)
+    counters = counters.at[stats.CONSTANT_REGION].set(
+        jnp.sum(read_mask & ~const_ok)
+    )
+    counters = counters.at[stats.LOW_QUALITY].set(jnp.sum(lowq))
+    counters = counters.at[stats.SAMPLE_BARCODE].set(jnp.sum(sample_err))
+    counters = counters.at[stats.BARCODE].set(jnp.sum(barcode_err))
+    if plan.dense_counts:
+        # matched is final on device; random-barcode dedup would move some
+        # of these to duplicates on the host.
+        counters = counters.at[stats.MATCHED].set(jnp.sum(valid))
+
+    out["valid"] = valid
+    out["sample_idx"] = sample_idx
+    out["counters"] = counters
+    return out
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=1)
+def dense_count_step(plan: DecodePlan, counts, bases, quals, lengths, read_mask):
+    """Fully-on-device step for the dense mode: decode + scatter-add counts.
+
+    ``counts`` is the carried ``[n_samples * n_combos]`` int32 tensor — the
+    tensor form of the reference's Results hashmap (info.rs:661-809).
+    """
+    r = decode_batch(plan, bases, quals, lengths, read_mask)
+    flat = r["sample_idx"] * plan.n_combos + r["combo_flat"]
+    flat = jnp.where(r["valid"], flat, 0)
+    counts = counts.at[flat].add(r["valid"].astype(counts.dtype))
+    return counts, r["counters"]
+
+
+@partial(jax.jit, static_argnums=0)
+def keyed_decode_step(plan: DecodePlan, bases, quals, lengths, read_mask):
+    """Decode step for raw-DNA / random-barcode modes: returns per-read
+    outputs for host-side keyed accumulation and dedup."""
+    return decode_batch(plan, bases, quals, lengths, read_mask)
