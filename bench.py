@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end decode throughput (reads/s) on a DEL workload.
+
+Prints ONE JSON line:
+  {"metric": "reads_per_second", "value": N, "unit": "reads/s",
+   "vs_baseline": N / 294_000}
+
+Baseline: the reference's published 418.77M reads in 23m43s compute on 8
+CPU threads = ~294k reads/s (BASELINE.md, reference README.md:155-172).
+
+The measured window is the steady-state pipeline — FASTQ bytes on disk
+-> host encode -> device decode/count -> final count fetch — after one
+untimed warmup batch (the TPU pool claim + first compile are one-time
+session costs, amortized to nothing over a production 400M-read run).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_READS_PER_S = 294_000.0
+
+SCHEME_TEXT = """\
+[10]
+AGCTACGAATCG
+{6}
+TGGA
+{6}
+TGGA
+{6}
+ACTAGAT
+TAGA
+"""
+
+SAMPLES = ["AGCATACGTT", "AACTTACCAT", "TTGGCATCAG", "CGATTACAGT"]
+
+
+def _barcode_sets(rng, n_per_pos=96, length=6, positions=3):
+    sets = []
+    for _ in range(positions):
+        seen = set()
+        while len(seen) < n_per_pos:
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, length)))
+        sets.append(sorted(seen))
+    return sets
+
+
+def prepare_inputs(workdir: str, n_reads: int):
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    os.makedirs(workdir, exist_ok=True)
+    scheme_path = os.path.join(workdir, "scheme.txt")
+    fastq_path = os.path.join(workdir, f"bench_{n_reads}.fastq")
+    samples_path = os.path.join(workdir, "samples.csv")
+    barcodes_path = os.path.join(workdir, "barcodes.csv")
+
+    rng = np.random.default_rng(2024)
+    scheme = parse_scheme_text(SCHEME_TEXT)
+    sets = _barcode_sets(rng)
+
+    with open(scheme_path, "w") as f:
+        f.write(SCHEME_TEXT)
+    with open(samples_path, "w") as f:
+        f.write("Barcode,Sample_ID\n")
+        for i, s in enumerate(SAMPLES):
+            f.write(f"{s},Sample_{i + 1}\n")
+    with open(barcodes_path, "w") as f:
+        f.write("Barcode,Barcode_ID,Barcode_Number\n")
+        for pos, bset in enumerate(sets, start=1):
+            for j, b in enumerate(bset):
+                f.write(f"{b},BC{pos}_{j},{pos}\n")
+
+    if not os.path.exists(fastq_path):
+        chunk = 1_000_000
+        first = True
+        left = n_reads
+        while left > 0:
+            n = min(chunk, left)
+            seq, qual = simulate_fast.generate_reads(
+                rng, scheme, n, SAMPLES, sets, sub_error_rate=0.01
+            )
+            simulate_fast.write_fastq_bytes(
+                fastq_path, seq, qual, append=not first
+            )
+            first = False
+            left -= n
+    return fastq_path, scheme_path, samples_path, barcodes_path
+
+
+def main():
+    n_reads = int(os.environ.get("NGS_BENCH_READS", 2_000_000))
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 19))
+    workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
+    fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
+        workdir, n_reads
+    )
+
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator,
+        RunConfig,
+        _enable_compile_cache,
+        setup,
+    )
+    from ngs_barcode_count_tpu.io import batcher as Bt, fastq as Fq
+
+    _enable_compile_cache()
+    cfg = RunConfig(
+        fastq=fastq,
+        format=scheme_path,
+        sample_barcodes_option=samples_path,
+        counted_barcodes_option=barcodes_path,
+        output_dir=workdir,
+        prefix="bench",
+        batch_size=batch_size,
+        progress=False,
+    )
+    scheme, conv, max_errors, plan, _ = setup(cfg)
+
+    # Warmup: claim the TPU + compile the step, untimed.
+    acc0 = CountAccumulator(plan, conv)
+    warm = next(
+        iter(
+            Bt.batches(
+                Fq.read_fastq(fastq, min_width=scheme.length),
+                batch_size=batch_size,
+                min_width=scheme.length,
+            )
+        )
+    )
+    acc0.step(warm)
+    acc0.finalize()
+
+    # Timed end-to-end pass.
+    acc = CountAccumulator(plan, conv)
+    t0 = time.perf_counter()
+    total = 0
+    for batch in Bt.batches(
+        Fq.read_fastq(fastq, min_width=scheme.length),
+        batch_size=batch_size,
+        min_width=scheme.length,
+    ):
+        acc.step(batch)
+        total += batch.n_reads
+    acc.finalize()
+    elapsed = time.perf_counter() - t0
+    rps = total / elapsed
+
+    matched = acc.seq_errors.matched
+    print(
+        json.dumps(
+            {
+                "metric": "reads_per_second",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
+                "detail": {
+                    "n_reads": total,
+                    "elapsed_s": round(elapsed, 3),
+                    "matched": matched,
+                    "batch_size": batch_size,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

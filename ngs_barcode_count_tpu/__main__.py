@@ -1,0 +1,4 @@
+from ngs_barcode_count_tpu.cli import main
+
+if __name__ == "__main__":
+    raise SystemExit(main())

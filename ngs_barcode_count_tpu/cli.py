@@ -1,0 +1,120 @@
+"""Command-line interface (reference arguments.rs:22-205).
+
+Same 13 options as the reference's clap parser — ``--fastq``,
+``--sequence-format``, ``--sample-barcodes``, ``--counted-barcodes``,
+``--output-dir``, ``--prefix``, ``--merge-output``, ``--enrich``,
+``--max-errors-*``, ``--min-quality`` — with TPU-specific additions
+(``--batch-size``, ``--devices``) replacing ``--threads`` (thread count
+is meaningless here: parallelism is the device mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as _dt
+import sys
+
+from ngs_barcode_count_tpu.runner import RunConfig, run
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="ngs-barcode-count-tpu",
+        description="Counts barcodes located in sequencing data (TPU-native)",
+    )
+    p.add_argument("-f", "--fastq", required=True, help="FastQ file")
+    p.add_argument(
+        "-q", "--sequence-format", required=True, dest="format",
+        help="Sequence format file",
+    )
+    p.add_argument(
+        "-s", "--sample-barcodes", dest="sample_barcodes",
+        help="Sample barcodes file",
+    )
+    p.add_argument(
+        "-c", "--counted-barcodes", dest="counted_barcodes",
+        help="Counted barcodes file",
+    )
+    p.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Accepted for reference CLI compatibility; ignored "
+        "(parallelism comes from the device mesh)",
+    )
+    p.add_argument(
+        "-o", "--output-dir", default="./",
+        help="Directory to output the counts to",
+    )
+    p.add_argument(
+        "-p", "--prefix", default=_dt.date.today().strftime("%Y-%m-%d"),
+        help="File prefix name.  THe output will end with "
+        "'_<sample_name>_counts.csv'",
+    )
+    p.add_argument(
+        "-m", "--merge-output", action="store_true",
+        help="Merge sample output counts into a single file.  Not necessary "
+        "when there is only one sample",
+    )
+    p.add_argument(
+        "-e", "--enrich", action="store_true",
+        help="Create output files of enrichment for single and double "
+        "synthons/barcodes",
+    )
+    p.add_argument(
+        "--max-errors-counted-barcode", type=int, default=None,
+        help="Maximimum number of sequence errors allowed within each counted "
+        "barcode. Defaults to 20%% of the total.",
+    )
+    p.add_argument(
+        "--max-errors-sample", type=int, default=None,
+        help="Maximimum number of sequence errors allowed within sample "
+        "barcode. Defaults to 20%% of the total.",
+    )
+    p.add_argument(
+        "--max-errors-constant", type=int, default=None,
+        help="Maximimum number of sequence errors allowed within constant "
+        "region. Defaults to 20%% of the total.",
+    )
+    p.add_argument(
+        "--min-quality", type=float, default=0.0,
+        help="Minimum average read quality score per barcode",
+    )
+    # TPU-native additions
+    p.add_argument(
+        "--batch-size", type=int, default=1 << 17,
+        help="Reads per device batch (static shape)",
+    )
+    p.add_argument(
+        "--devices", type=int, default=0,
+        help="Number of local devices to shard batches over (0 = all)",
+    )
+    p.add_argument(
+        "--no-progress", action="store_true", help="Disable progress output"
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    config = RunConfig(
+        fastq=args.fastq,
+        format=args.format,
+        sample_barcodes_option=args.sample_barcodes,
+        counted_barcodes_option=args.counted_barcodes,
+        output_dir=args.output_dir,
+        prefix=args.prefix,
+        merge_output=args.merge_output,
+        enrich=args.enrich,
+        barcodes_errors_option=args.max_errors_counted_barcode,
+        sample_errors_option=args.max_errors_sample,
+        constant_errors_option=args.max_errors_constant,
+        min_average_quality_score=args.min_quality,
+        batch_size=args.batch_size,
+        n_devices=args.devices,
+        progress=not args.no_progress,
+    )
+    run(config)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

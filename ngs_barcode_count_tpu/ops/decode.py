@@ -426,18 +426,23 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
     return out
 
 
-@partial(jax.jit, static_argnums=0, donate_argnums=1)
-def dense_count_step(plan: DecodePlan, counts, bases, quals, lengths, read_mask):
+@partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+def dense_count_step(
+    plan: DecodePlan, counts, counters, bases, quals, lengths, read_mask
+):
     """Fully-on-device step for the dense mode: decode + scatter-add counts.
 
     ``counts`` is the carried ``[n_samples * n_combos]`` int32 tensor — the
-    tensor form of the reference's Results hashmap (info.rs:661-809).
+    tensor form of the reference's Results hashmap (info.rs:661-809) — and
+    ``counters`` the carried ``[6]`` stat vector.  Both stay on device for
+    the whole run so the batch loop is pure async dispatch (nothing is
+    fetched per batch; this matters doubly on high-latency interconnects).
     """
     r = decode_batch(plan, bases, quals, lengths, read_mask)
     flat = r["sample_idx"] * plan.n_combos + r["combo_flat"]
     flat = jnp.where(r["valid"], flat, 0)
     counts = counts.at[flat].add(r["valid"].astype(counts.dtype))
-    return counts, r["counters"]
+    return counts, counters + r["counters"]
 
 
 @partial(jax.jit, static_argnums=0)

@@ -1,0 +1,345 @@
+"""Run orchestrator (reference main.rs:11-166, redesigned for TPU).
+
+The reference wires 1 reader thread + N-1 parser threads around a mutex
+deque.  Here the pipeline is: chunked vectorized ingest -> fixed-shape
+batches -> one jitted decode step per batch (async dispatch overlaps
+host encode with device compute) -> dense device count tensor or host
+keyed accumulation -> writers.  Multi-chip runs shard each batch across a
+``jax.sharding.Mesh`` and psum-merge counts (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ngs_barcode_count_tpu import dna, stats
+from ngs_barcode_count_tpu.conversions import BarcodeConversions
+from ngs_barcode_count_tpu.counting import (
+    DenseCounts,
+    KeyedCounts,
+    RandomDedup,
+    pack_codes,
+)
+from ngs_barcode_count_tpu.errors import MaxSeqErrors
+from ngs_barcode_count_tpu.io import batcher as batcher_mod
+from ngs_barcode_count_tpu.io import fastq as fastq_mod
+from ngs_barcode_count_tpu.ops import decode as dec
+from ngs_barcode_count_tpu.output import ResultsView, WriteFiles, WriterConfig
+from ngs_barcode_count_tpu.scheme import SequenceScheme, parse_scheme
+from ngs_barcode_count_tpu.stats import SequenceErrors
+
+
+@dataclass
+class RunConfig:
+    """CLI-equivalent configuration (reference arguments.rs:6-20) plus
+    TPU-specific knobs."""
+
+    fastq: str
+    format: str
+    sample_barcodes_option: str | None = None
+    counted_barcodes_option: str | None = None
+    output_dir: str = "./"
+    prefix: str = field(
+        default_factory=lambda: _dt.date.today().strftime("%Y-%m-%d")
+    )
+    merge_output: bool = False
+    enrich: bool = False
+    barcodes_errors_option: int | None = None
+    sample_errors_option: int | None = None
+    constant_errors_option: int | None = None
+    min_average_quality_score: float = 0.0
+    # TPU knobs (no reference equivalent: replaces --threads)
+    batch_size: int = 1 << 17
+    n_devices: int = 0  # 0 = all local devices
+    progress: bool = True
+
+
+@dataclass
+class RunResult:
+    scheme: SequenceScheme
+    conversions: BarcodeConversions
+    max_errors: MaxSeqErrors
+    seq_errors: SequenceErrors
+    total_reads: int
+    results: ResultsView
+    compute_seconds: float
+    reads_per_second: float
+
+
+class CountAccumulator:
+    """Owns the mode-dependent accumulation state for a run."""
+
+    def __init__(self, plan: dec.DecodePlan, conversions: BarcodeConversions):
+        self.plan = plan
+        self.conv = conversions
+        self.seq_errors = SequenceErrors()
+        self.dense = None
+        self.dense_state = None
+        self.dense_counters = None
+        self.keyed: KeyedCounts | None = None
+        self.dedup: RandomDedup | None = None
+        if plan.dense_counts:
+            self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
+            self.dense_state = self.dense.initial()
+            import jax.numpy as jnp
+
+            self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        else:
+            self.keyed = KeyedCounts()
+            if plan.scheme.random_barcode:
+                self.dedup = RandomDedup()
+
+    def step(self, batch: batcher_mod.ReadBatch) -> None:
+        plan = self.plan
+        if self.dense is not None:
+            self.dense_state, self.dense_counters = dec.dense_count_step(
+                plan,
+                self.dense_state,
+                self.dense_counters,
+                batch.bases,
+                batch.quals,
+                batch.lengths,
+                batch.read_mask,
+            )
+            return
+        out = dec.keyed_decode_step(
+            plan, batch.bases, batch.quals, batch.lengths, batch.read_mask
+        )
+        self.seq_errors.add_vector(np.asarray(out["counters"]))
+        valid = np.asarray(out["valid"])
+        key_cols = self._key_columns(out)
+        if self.dedup is not None:
+            rnd = pack_codes(np.asarray(out["random_codes"]))
+            new_mask = self.dedup.observe(key_cols + [rnd], valid)
+            n_valid = int(valid.sum())
+            n_new = int(new_mask.sum())
+            self.seq_errors.correct_match(n_new)
+            self.seq_errors.duplicated(n_valid - n_new)
+            self.keyed.add_batch(key_cols, new_mask)
+        else:
+            self.seq_errors.correct_match(int(valid.sum()))
+            self.keyed.add_batch(key_cols, valid)
+
+    def _key_columns(self, out) -> list[np.ndarray]:
+        cols: list[np.ndarray] = []
+        if "sample_codes" in out:
+            cols.append(pack_codes(np.asarray(out["sample_codes"])))
+        else:
+            cols.append(np.asarray(out["sample_idx"]).astype(np.uint64))
+        if "combo_flat" in out:
+            cols.append(np.asarray(out["combo_flat"]).astype(np.uint64))
+        else:
+            for codes in out["counted_codes"]:
+                cols.append(pack_codes(np.asarray(codes)))
+        return cols
+
+    # -- finalization ------------------------------------------------------
+
+    def finalize(self) -> None:
+        """Block on outstanding device work and fold the device counter
+        vector into the host stats (once per run, not per batch)."""
+        if self.dense_counters is not None:
+            self.seq_errors.add_vector(np.asarray(self.dense_counters))
+
+    def _sample_key_of_index(self, idx: int) -> str:
+        if self.plan.scheme.sample_slot is None:
+            return "barcode"
+        return self.conv.sample_set.sequences[idx]
+
+    def results_view(self) -> ResultsView:
+        plan = self.plan
+        per_sample: dict[str, dict[str, int]] = {}
+        # Pre-seed sample keys like Results::new (info.rs:697-719): all
+        # samples from the file, or the literal "barcode" key.
+        if self.conv.has_sample_file:
+            for sb in self.conv.samples_barcode_hash:
+                per_sample[sb] = {}
+        elif plan.scheme.sample_slot is None:
+            per_sample["barcode"] = {}
+
+        if self.dense is not None:
+            arr = self.dense.to_numpy(self.dense_state)
+            n_samples, _ = arr.shape
+            for s in range(n_samples):
+                key = self._sample_key_of_index(s)
+                nz = np.flatnonzero(arr[s])
+                if len(nz) == 0:
+                    per_sample.setdefault(key, {})
+                    continue
+                idxs = self.dense.unflatten_combo(nz.copy())
+                combos = per_sample.setdefault(key, {})
+                for row in range(len(nz)):
+                    code = ",".join(
+                        self.conv.counted_sets[j].sequences[int(idxs[j][row])]
+                        for j in range(len(idxs))
+                    )
+                    combos[code] = int(arr[s, nz[row]])
+            return ResultsView(per_sample)
+
+        # keyed mode: unpack 3-bit keys back to DNA strings
+        scheme = plan.scheme
+        slot_lengths = [s.length for s in scheme.barcode_slots]
+        for key, count in self.keyed.counts.items():
+            sample_part, rest = key[0], key[1:]
+            if plan.dense_sample:
+                skey = self._sample_key_of_index(int(sample_part))
+            else:
+                skey = dna.decode(
+                    dna.unpack_3bit(
+                        np.array(sample_part, dtype=np.uint64),
+                        scheme.sample_slot.length,
+                    )
+                )
+            if plan.dense_counted:
+                idxs = []
+                flat = int(rest[0])
+                for n in reversed(plan.combo_radix):
+                    idxs.append(flat % n)
+                    flat //= n
+                idxs = list(reversed(idxs))
+                code = ",".join(
+                    self.conv.counted_sets[j].sequences[idxs[j]]
+                    for j in range(len(idxs))
+                )
+            else:
+                code = ",".join(
+                    dna.decode(
+                        dna.unpack_3bit(
+                            np.array(rest[j], dtype=np.uint64), slot_lengths[j]
+                        )
+                    )
+                    for j in range(len(slot_lengths))
+                )
+            per_sample.setdefault(skey, {})[code] = count
+        return ResultsView(per_sample)
+
+
+def setup(config: RunConfig):
+    """Scheme + conversions + budgets + plan (main.rs:16-65)."""
+    scheme = parse_scheme(config.format)
+    enrich = config.enrich
+    if enrich and scheme.barcode_num < 2:
+        print(
+            "Fewer than 2 counted barcodes.  Too few for barcode enrichment.  "
+            "Argument flag is ignored",
+            file=sys.stderr,
+        )
+        enrich = False
+    conv = BarcodeConversions()
+    if config.sample_barcodes_option:
+        if scheme.sample_slot is None:
+            raise ValueError(
+                "sample barcode file given but scheme has no sample region [n]"
+            )
+        conv.load_sample_file(
+            config.sample_barcodes_option, scheme.sample_slot.length
+        )
+    if config.counted_barcodes_option:
+        conv.load_counted_file(
+            config.counted_barcodes_option, scheme.barcode_num,
+            scheme.barcode_lengths,
+        )
+    max_errors = MaxSeqErrors.create(
+        config.sample_errors_option,
+        scheme.sample_length,
+        config.barcodes_errors_option,
+        scheme.barcode_lengths,
+        config.constant_errors_option,
+        scheme.constant_region_length,
+        config.min_average_quality_score,
+    )
+    plan = dec.make_plan(scheme, conv, max_errors)
+    return scheme, conv, max_errors, plan, enrich
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: repeat runs skip recompiles."""
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "NGS_JAX_CACHE",
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "ngs_barcode_count_tpu"
+            ),
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass  # older jax or read-only home: run without the cache
+
+
+def run(config: RunConfig) -> RunResult:
+    _enable_compile_cache()
+    start_time = _dt.datetime.now()
+    scheme, conv, max_errors, plan, enrich = setup(config)
+    print(f"{scheme.display()}\n")
+    print(f"{max_errors.display()}\n")
+
+    acc = CountAccumulator(plan, conv)
+    total_reads = 0
+    t0 = time.perf_counter()
+    # Length bucket must fit the format; pad width in multiples of 32.
+    min_width = scheme.length
+    for batch in batcher_mod.batches(
+        fastq_mod.read_fastq(config.fastq, min_width=min_width),
+        batch_size=config.batch_size,
+        min_width=min_width,
+    ):
+        acc.step(batch)
+        total_reads += batch.n_reads
+        if config.progress:
+            print(f"Total sequences:             {total_reads:,}\r", end="")
+    acc.finalize()  # blocks on outstanding device work
+    compute_s = time.perf_counter() - t0
+    print(f"Total sequences:             {total_reads:,}")
+
+    print(f"{acc.seq_errors.display()}\n")
+    elapsed = _dt.datetime.now() - start_time
+    from ngs_barcode_count_tpu.output import elapsed_display
+
+    print(f"Compute time: {elapsed_display(elapsed)}\n")
+
+    print("-WRITING COUNTS-")
+    results = acc.results_view()
+    writer_config = WriterConfig(
+        fastq=config.fastq,
+        format=config.format,
+        sample_barcodes_option=config.sample_barcodes_option,
+        counted_barcodes_option=config.counted_barcodes_option,
+        output_dir=config.output_dir,
+        prefix=config.prefix,
+        merge_output=config.merge_output,
+        enrich=enrich,
+    )
+    writer = WriteFiles(
+        results,
+        scheme,
+        conv.counted_barcodes_hash,
+        conv.samples_barcode_hash,
+        writer_config,
+    )
+    writer.write_counts_files()
+    writer.write_stats_file(
+        start_time, max_errors, acc.seq_errors, total_reads, scheme
+    )
+    total_elapsed = _dt.datetime.now() - start_time
+    print(f"\nTotal time: {elapsed_display(total_elapsed)}")
+    return RunResult(
+        scheme=scheme,
+        conversions=conv,
+        max_errors=max_errors,
+        seq_errors=acc.seq_errors,
+        total_reads=total_reads,
+        results=results,
+        compute_seconds=compute_s,
+        reads_per_second=total_reads / compute_s if compute_s > 0 else 0.0,
+    )

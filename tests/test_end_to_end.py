@@ -1,0 +1,264 @@
+"""End-to-end runs over real files: synthetic FASTQ + the reference's
+example scheme/barcode files, device pipeline vs oracle-aggregated counts
+(the golden configs of BASELINE.json)."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu.oracle import Oracle
+from ngs_barcode_count_tpu.runner import RunConfig, run, setup
+from ngs_barcode_count_tpu.utils import simulate
+
+SAMPLES = {"AGCATACGTT": "Sample_name_1", "AACTTACCAT": "Sample_name_2"}
+BC1 = ["CAGAGA", "TGATTG", "AAGGCC"]
+BC2 = ["ATGAAA", "GCGCCA", "TTTACG"]
+BC3 = ["GATAGC", "TTAGCT", "CCATTG"]
+
+SCHEME_TEXT = """\
+# test scheme
+[10]
+AGCTACGAATCG
+{6}
+TGGA
+{6}
+TGGA
+{6}
+ACTAGAT
+TAGA
+"""
+
+SCHEME_RANDOM_TEXT = SCHEME_TEXT.replace("ACTAGAT\nTAGA", "ACTAGAT\n(8)\nTAGA")
+
+
+def write_inputs(tmp_path, scheme_text=SCHEME_TEXT, with_files=True):
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text(scheme_text)
+    paths = {"format": str(fmt)}
+    if with_files:
+        sf = tmp_path / "samples.csv"
+        sf.write_text(
+            "Barcode,Sample_ID\n"
+            + "".join(f"{b},{i}\n" for b, i in SAMPLES.items())
+        )
+        cf = tmp_path / "barcodes.csv"
+        rows = []
+        for pos, bcs in enumerate([BC1, BC2, BC3], start=1):
+            for j, b in enumerate(bcs):
+                rows.append(f"{b},BC{pos}_{j},{pos}\n")
+        cf.write_text("Barcode,Barcode_ID,Barcode_Number\n" + "".join(rows))
+        paths["samples"] = str(sf)
+        paths["barcodes"] = str(cf)
+    return paths
+
+
+def gen_fastq(tmp_path, scheme, n, rng, gz=False, quality_range=None,
+              err_range=(0, 10), name="reads.fastq"):
+    reads, quals = [], []
+    for _ in range(n):
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 3)] for s in [BC1, BC2, BC3]]
+        r = simulate.make_read(
+            rng, scheme, sample, counted,
+            flank_left=int(rng.integers(0, 8)),
+            flank_right=int(rng.integers(0, 8)),
+            n_errors=int(rng.integers(*err_range)),
+        )
+        reads.append(r)
+        if quality_range:
+            q = rng.integers(quality_range[0], quality_range[1], len(r)) + 33
+            quals.append("".join(chr(int(x)) for x in q))
+        else:
+            quals.append("I" * len(r))
+    path = tmp_path / (name + (".gz" if gz else ""))
+    simulate.write_fastq(str(path), reads, quals, gzip_out=gz)
+    return str(path), reads, quals
+
+
+def oracle_counts(config: RunConfig, reads, quals):
+    """Aggregate counts the reference way using the string oracle."""
+    scheme, conv, max_errors, plan, enrich = setup(config)
+    oracle = Oracle(
+        scheme, max_errors,
+        list(conv.samples_barcode_hash.keys()),
+        [s.sequences for s in conv.counted_sets],
+        max_errors.min_quality,
+    )
+    per_sample: dict[str, dict[str, int]] = {}
+    if conv.has_sample_file:
+        for sb in conv.samples_barcode_hash:
+            per_sample[sb] = {}
+    elif scheme.sample_slot is None:
+        per_sample["barcode"] = {}
+    seen_random = set()
+    tallies = dict(matched=0, constant_region=0, sample_barcode=0,
+                   barcode=0, low_quality=0, duplicates=0)
+    for r, q in zip(reads, quals):
+        o = oracle.decode(r, q)
+        if o.outcome != "matched":
+            tallies[o.outcome] += 1
+            continue
+        code = ",".join(o.counted_barcodes)
+        if scheme.random_barcode:
+            key = (o.sample_barcode, code, o.random_barcode)
+            if key in seen_random:
+                tallies["duplicates"] += 1
+                continue
+            seen_random.add(key)
+        tallies["matched"] += 1
+        per_sample.setdefault(o.sample_barcode, {})
+        per_sample[o.sample_barcode][code] = (
+            per_sample[o.sample_barcode].get(code, 0) + 1
+        )
+    return per_sample, tallies
+
+
+def assert_counts_equal(result, expected_per_sample, tallies):
+    got = {k: dict(v) for k, v in result.results.per_sample.items()}
+    assert got == expected_per_sample
+    c = result.seq_errors.counters
+    from ngs_barcode_count_tpu import stats as S
+
+    assert c[S.MATCHED] == tallies["matched"]
+    assert c[S.CONSTANT_REGION] == tallies["constant_region"]
+    assert c[S.SAMPLE_BARCODE] == tallies["sample_barcode"]
+    assert c[S.BARCODE] == tallies["barcode"]
+    assert c[S.LOW_QUALITY] == tallies["low_quality"]
+    assert c[S.DUPLICATES] == tallies["duplicates"]
+
+
+def _mk_config(tmp_path, fq, paths, **kw):
+    return RunConfig(
+        fastq=fq,
+        format=paths["format"],
+        sample_barcodes_option=paths.get("samples"),
+        counted_barcodes_option=paths.get("barcodes"),
+        output_dir=str(tmp_path),
+        prefix="test",
+        batch_size=512,
+        progress=False,
+        **kw,
+    )
+
+
+def test_dense_mode_e2e(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 700, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
+    # CSV files written per sample
+    for name in SAMPLES.values():
+        assert (tmp_path / f"test_{name}_counts.csv").exists()
+    assert (tmp_path / "test_barcode_stats.txt").exists()
+
+
+def test_random_dedup_e2e(tmp_path, rng):
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    # few distinct randoms so duplicates actually occur
+    reads, quals = [], []
+    randoms = ["ACGTACGT", "TTTTCCCC", "GGGGAAAA"]
+    for _ in range(500):
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 3)] for s in [BC1, BC2, BC3]]
+        r = simulate.make_read(
+            rng, scheme, sample, counted,
+            random_barcode=randoms[rng.integers(0, 3)],
+            flank_left=2, flank_right=3,
+            n_errors=int(rng.integers(0, 4)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "r.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert tallies["duplicates"] > 0
+    assert_counts_equal(result, exp, tallies)
+
+
+def test_quality_and_gzip_e2e(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 400, rng, gz=True, quality_range=(15, 41),
+        name="q.fastq",
+    )
+    cfg = _mk_config(tmp_path, fq, paths, min_average_quality_score=30.0)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert tallies["low_quality"] > 0
+    assert_counts_equal(result, exp, tallies)
+
+
+def test_raw_dna_mode_e2e(tmp_path, rng):
+    """Config 1 of BASELINE.json: no conversion files, counts by raw DNA."""
+    paths = write_inputs(tmp_path, with_files=False)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 300, rng, err_range=(0, 3))
+    cfg = _mk_config(tmp_path, fq, paths)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
+
+
+def test_merged_and_enriched_output(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 300, rng, err_range=(0, 5))
+    cfg = _mk_config(tmp_path, fq, paths, merge_output=True, enrich=True)
+    result = run(cfg)
+    assert (tmp_path / "test_counts.all.csv").exists()
+    for name in SAMPLES.values():
+        assert (tmp_path / f"test_{name}_counts.Single.csv").exists()
+        assert (tmp_path / f"test_{name}_counts.Double.csv").exists()
+    assert (tmp_path / "test_counts.all.Single.csv").exists()
+    # merged file row counts: header + one row per distinct combo
+    merged = (tmp_path / "test_counts.all.csv").read_text().splitlines()
+    distinct = set()
+    for s in result.results.per_sample.values():
+        distinct.update(s.keys())
+    assert len(merged) == 1 + len(distinct)
+    # merged columns: Barcode_1..3 + 2 samples
+    assert merged[0] == "Barcode_1,Barcode_2,Barcode_3,Sample_name_1,Sample_name_2"
+    # single-enrichment row sums: each sample's single counts total
+    # barcode_num * matched-for-that-sample
+    single = (tmp_path / "test_counts.all.Single.csv").read_text().splitlines()
+    assert single[0] == "Barcode_1,Barcode_2,Barcode_3,Sample_name_1,Sample_name_2"
+
+
+def test_csv_content_parity_with_oracle(tmp_path, rng):
+    """Sample CSV contents match an oracle-computed golden exactly."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 500, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    result = run(cfg)
+    exp, _ = oracle_counts(cfg, reads, quals)
+    # golden CSV for sample 1, sorted rows, converted ids
+    sb = [b for b, n in SAMPLES.items() if n == "Sample_name_1"][0]
+    id_of = {}
+    for pos, bcs in enumerate([BC1, BC2, BC3]):
+        for j, b in enumerate(bcs):
+            id_of[(pos, b)] = f"BC{pos + 1}_{j}"
+    rows = []
+    for code in sorted(exp[sb]):
+        conv = ",".join(
+            id_of[(i, b)] for i, b in enumerate(code.split(","))
+        )
+        rows.append(f"{conv},{exp[sb][code]}")
+    golden = "Barcode_1,Barcode_2,Barcode_3,Count\n" + "\n".join(rows) + "\n"
+    written = (tmp_path / "test_Sample_name_1_counts.csv").read_text()
+    assert written == golden

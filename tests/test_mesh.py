@@ -1,0 +1,115 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh:
+data-parallel count merging and model-parallel tie-drop argmin must equal
+the single-device dense path exactly (SURVEY.md section 4c)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ngs_barcode_count_tpu import dna, stats
+from ngs_barcode_count_tpu.conversions import BarcodeConversions, BarcodeSet
+from ngs_barcode_count_tpu.errors import MaxSeqErrors
+from ngs_barcode_count_tpu.ops import decode as dec
+from ngs_barcode_count_tpu.parallel import mesh as pmesh
+from ngs_barcode_count_tpu.utils import simulate
+
+from tests.test_decode_vs_oracle import (
+    SAMPLES,
+    BC1,
+    BC2,
+    BC3,
+    build_plan,
+    encode_batch,
+    gen_reads,
+)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+@pytest.mark.parametrize("n_data,n_model", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_dense_equals_single(example_scheme, rng, eight_devices,
+                                     n_data, n_model):
+    plan, oracle, conv = build_plan(example_scheme)
+    # random barcode in example scheme -> dense_counts False; strip random
+    # by rebuilding a plan on a random-free scheme for the dense engine.
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from tests.conftest import EXAMPLE_SCHEME
+
+    scheme = parse_scheme_text(EXAMPLE_SCHEME.replace("(8)\n", ""))
+    plan, oracle, conv = None, None, None
+    plan, oracle, conv = build_plan(scheme)
+    assert plan.dense_counts
+
+    reads = gen_reads(rng, scheme, 128, err_range=(0, 10))
+    quals = ["I" * len(r) for r in reads]
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+
+    # single-device reference counts
+    counts0 = np.zeros(plan.n_samples * plan.n_combos, np.int32)
+    import jax.numpy as jnp
+
+    c, ctr = dec.dense_count_step(
+        plan, jnp.asarray(counts0), jnp.zeros(stats.NUM_COUNTERS, jnp.int32),
+        bases, quality, lengths, mask,
+    )
+    ref_counts, ref_counters = np.asarray(c), np.asarray(ctr)
+
+    mesh = pmesh.make_mesh(n_data, n_model, eight_devices)
+    eng = pmesh.ShardedDenseEngine.build(plan, mesh)
+    counts, counters = eng.initial_state()
+    step = eng.make_step()
+    sb, sq, sl, sm = eng.shard_batch(bases, quality, lengths, mask)
+    counts, counters = step(counts, counters, sb, sq, sl, sm)
+    mc, mctr = eng.merge(counts, counters)
+    np.testing.assert_array_equal(np.asarray(mc), ref_counts)
+    np.testing.assert_array_equal(np.asarray(mctr), ref_counters)
+
+
+def test_model_parallel_matcher_tie_drop(eight_devices):
+    """Sharded argmin preserves unique-min and tie-drop across shards."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cands = ["AAAAAA", "AAAATT", "CCCCCC", "GGGGGG", "TTTTTT", "ACACAC",
+             "AGAGAG", "ATATAT"]
+    bset = BarcodeSet.from_pairs([(c, str(i)) for i, c in enumerate(cands)], 6)
+    n_model = 4
+    per = 2
+    oh = bset.onehot.reshape(n_model, per, -1)
+    nm = bset.n_mask.reshape(n_model, per, -1)
+
+    # reads: exact hit, 1-mismatch unique, tie between AAAAAA and AAAATT
+    reads = ["CCCCCC", "CCCCCA", "AAAATA", "NNNNNN"]
+    codes = np.stack([dna.encode(r) for r in reads])
+
+    mesh = Mesh(np.array(eight_devices[:n_model]).reshape(1, n_model),
+                ("data", "model"))
+
+    def local(oh_s, nm_s, codes):
+        return pmesh.match_barcodes_model_parallel(
+            codes, oh_s[0], nm_s[0], len(cands), 1
+        )
+
+    f = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("model", None, None), P("model", None, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    idx, ok = f(oh, nm, codes)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok[0] and cands[idx[0]] == "CCCCCC"
+    assert ok[1] and cands[idx[1]] == "CCCCCC"
+    # "AAAATA": dist 1 to AAAAAA (pos 4 T) and 1 to AAAATT (pos 5 A) -> tie
+    assert not ok[2]
+    # all-N read: distance 0 to every candidate -> tie -> dropped
+    assert not ok[3]
