@@ -105,9 +105,10 @@ def main():
         CountAccumulator,
         RunConfig,
         _enable_compile_cache,
+        encoded_chunks,
         setup,
     )
-    from ngs_barcode_count_tpu.io import batcher as Bt, fastq as Fq
+    from ngs_barcode_count_tpu.io import batcher as Bt
 
     _enable_compile_cache()
     cfg = RunConfig(
@@ -127,7 +128,7 @@ def main():
     warm = next(
         iter(
             Bt.batches(
-                Fq.read_fastq(fastq, min_width=scheme.length),
+                encoded_chunks(fastq, scheme.length, batch_size),
                 batch_size=batch_size,
                 min_width=scheme.length,
             )
@@ -141,7 +142,7 @@ def main():
     t0 = time.perf_counter()
     total = 0
     for batch in Bt.batches(
-        Fq.read_fastq(fastq, min_width=scheme.length),
+        encoded_chunks(fastq, scheme.length, batch_size),
         batch_size=batch_size,
         min_width=scheme.length,
     ):

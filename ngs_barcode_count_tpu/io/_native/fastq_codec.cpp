@@ -1,0 +1,296 @@
+// Native FASTQ -> tensor encoder (the TPU build's answer to the
+// reference's reader thread, input.rs:24-159).
+//
+// The reference streams lines through a mutex deque at ~300k reads/s per
+// core; feeding a TPU at >3M reads/s needs the byte->tensor conversion to
+// be memory-bandwidth bound, so this codec:
+//   - scans newlines with a 16-byte-unrolled loop (memchr chunks),
+//   - encodes sequence bytes through a 256-entry lookup table directly
+//     into the caller-provided [cap, width] int8 base matrix (PAD-filled)
+//     and quality bytes into Phred int8 (ASCII-33),
+//   - decompresses .fastq.gz with zlib in multi-member streaming mode
+//     (flate2 MultiGzDecoder semantics: keep inflating members until the
+//     file ends; tolerate a truncated tail like input.rs:67-82).
+//
+// The interface is C (ctypes-friendly): an opaque reader handle yields
+// batches of encoded reads. No Python object traffic on the hot path.
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <zlib.h>
+
+namespace {
+
+constexpr int8_t kPad = 6;  // dna.PAD
+constexpr int kOther = 5;   // dna.OTHER
+
+struct LookupTables {
+  int8_t base[256];
+  int8_t phred[256];
+  LookupTables() {
+    for (int i = 0; i < 256; ++i) {
+      base[i] = kOther;
+      int q = i - 33;
+      phred[i] = static_cast<int8_t>(q < 0 ? 0 : (q > 93 ? 93 : q));
+    }
+    const char* bases = "ACGTN";
+    for (int i = 0; i < 5; ++i) {
+      base[static_cast<unsigned char>(bases[i])] = static_cast<int8_t>(i);
+      base[static_cast<unsigned char>(bases[i] + 32)] = static_cast<int8_t>(i);
+    }
+  }
+};
+const LookupTables kTables;
+
+struct Reader {
+  FILE* f = nullptr;
+  bool gz = false;
+  z_stream zs{};
+  bool z_live = false;
+  bool eof = false;
+  std::vector<uint8_t> inbuf;   // compressed input
+  size_t in_pos = 0, in_len = 0;
+  std::vector<uint8_t> buf;     // decoded text buffer
+  size_t buf_pos = 0, buf_len = 0;
+  // carry: partial line + line phase within the 4-line record
+  std::vector<uint8_t> carry;   // bytes of the current incomplete line
+  int phase = 0;                // 0=desc 1=seq 2=plus 3=qual
+  std::vector<uint8_t> seq_line;
+  // a fully-parsed record too wide for the caller's buffer, held until
+  // the caller re-calls with a larger width
+  std::vector<uint8_t> pend_qual;
+  bool pending = false;
+  uint64_t total_reads = 0;
+  std::string error;
+};
+
+// Refill buf with decoded bytes. Returns false at end of data.
+bool refill(Reader* r) {
+  if (r->eof) return false;
+  if (!r->gz) {
+    r->buf_len = fread(r->buf.data(), 1, r->buf.size(), r->f);
+    r->buf_pos = 0;
+    if (r->buf_len == 0) r->eof = true;
+    return r->buf_len > 0;
+  }
+  // gzip: inflate into buf, restarting members as needed
+  r->buf_pos = 0;
+  r->buf_len = 0;
+  while (r->buf_len == 0) {
+    if (r->in_pos == r->in_len) {
+      r->in_len = fread(r->inbuf.data(), 1, r->inbuf.size(), r->f);
+      r->in_pos = 0;
+      if (r->in_len == 0) {  // file exhausted (maybe truncated member)
+        r->eof = true;
+        return false;
+      }
+    }
+    if (!r->z_live) {
+      memset(&r->zs, 0, sizeof(r->zs));
+      if (inflateInit2(&r->zs, 31) != Z_OK) {
+        r->error = "inflateInit2 failed";
+        r->eof = true;
+        return false;
+      }
+      r->z_live = true;
+    }
+    r->zs.next_in = r->inbuf.data() + r->in_pos;
+    r->zs.avail_in = static_cast<uInt>(r->in_len - r->in_pos);
+    r->zs.next_out = r->buf.data();
+    r->zs.avail_out = static_cast<uInt>(r->buf.size());
+    int rc = inflate(&r->zs, Z_NO_FLUSH);
+    r->in_pos = r->in_len - r->zs.avail_in;
+    r->buf_len = r->buf.size() - r->zs.avail_out;
+    if (rc == Z_STREAM_END) {
+      inflateEnd(&r->zs);
+      r->z_live = false;  // next member (multi-member gz)
+    } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+      // corrupt/truncated stream: surface what we have, stop like the
+      // reference's read-0 exit (input.rs:67-82)
+      r->eof = true;
+      return r->buf_len > 0;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open a reader. gz != 0 for .fastq.gz. Returns null on failure.
+void* fastq_open(const char* path, int gz, size_t chunk_bytes) {
+  Reader* r = new Reader();
+  r->f = fopen(path, "rb");
+  if (!r->f) {
+    delete r;
+    return nullptr;
+  }
+  r->gz = gz != 0;
+  r->buf.resize(chunk_bytes);
+  if (r->gz) r->inbuf.resize(chunk_bytes);
+  r->carry.reserve(1024);
+  r->seq_line.reserve(1024);
+  return r;
+}
+
+void fastq_close(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  if (r->z_live) inflateEnd(&r->zs);
+  if (r->f) fclose(r->f);
+  delete r;
+}
+
+uint64_t fastq_total_reads(void* h) {
+  return static_cast<Reader*>(h)->total_reads;
+}
+
+namespace {
+
+// Emit one parsed (seq_line, qual) record into row n.
+void emit_row(Reader* r, const uint8_t* qual, size_t qlen, int64_t n,
+              int64_t width, int8_t* bases, int8_t* quals,
+              int32_t* lengths) {
+  int8_t* brow = bases + n * width;
+  int8_t* qrow = quals + n * width;
+  size_t sl = r->seq_line.size();
+  for (size_t i = 0; i < sl; ++i) brow[i] = kTables.base[r->seq_line[i]];
+  size_t ql = qlen < sl ? qlen : sl;
+  for (size_t i = 0; i < ql; ++i) qrow[i] = kTables.phred[qual[i]];
+  if (ql < sl) memset(qrow + ql, 0, sl - ql);
+  memset(brow + sl, kPad, width - sl);
+  memset(qrow + sl, 0, width - sl);
+  lengths[n] = static_cast<int32_t>(sl);
+  ++r->total_reads;
+}
+
+}  // namespace
+
+// Fill up to `cap` reads into bases[cap*width], quals[cap*width] (both
+// pre-sized by the caller), lengths[cap].  Rows are PAD/0-filled for the
+// used rows.  Returns the number of reads written; 0 means end of file;
+// a NEGATIVE value -w means a read of length w exceeded `width`: the
+// caller must retry with width >= w (no data is lost — the record is
+// held inside the reader).
+int64_t fastq_next_batch(void* h, int64_t cap, int64_t width,
+                         int8_t* bases, int8_t* quals, int32_t* lengths) {
+  Reader* r = static_cast<Reader*>(h);
+  int64_t n = 0;
+  if (r->pending) {
+    int64_t need = static_cast<int64_t>(r->seq_line.size());
+    if (need > width) return -need;
+    emit_row(r, r->pend_qual.data(), r->pend_qual.size(), n, width, bases,
+             quals, lengths);
+    ++n;
+    r->pending = false;
+    r->phase = 0;
+  }
+  while (n < cap) {
+    if (r->buf_pos >= r->buf_len) {
+      if (!refill(r)) break;
+    }
+    const uint8_t* p = r->buf.data() + r->buf_pos;
+    size_t avail = r->buf_len - r->buf_pos;
+    const uint8_t* nl =
+        static_cast<const uint8_t*>(memchr(p, '\n', avail));
+    size_t line_len = nl ? static_cast<size_t>(nl - p) : avail;
+
+    const uint8_t* line = p;
+    size_t full_len = line_len;
+    if (!r->carry.empty() || !nl) {
+      // accumulate into carry until the newline arrives
+      r->carry.insert(r->carry.end(), p, p + line_len);
+      r->buf_pos += line_len + (nl ? 1 : 0);
+      if (!nl) continue;  // need more data
+      line = r->carry.data();
+      full_len = r->carry.size();
+    } else {
+      r->buf_pos += line_len + 1;
+    }
+    // strip \r
+    if (full_len && line[full_len - 1] == '\r') --full_len;
+
+    switch (r->phase) {
+      case 0:  // description
+        r->phase = 1;
+        break;
+      case 1:  // sequence: stash until quality arrives
+        r->seq_line.assign(line, line + full_len);
+        r->phase = 2;
+        break;
+      case 2:  // plus
+        r->phase = 3;
+        break;
+      case 3: {  // quality: emit the record
+        if (r->seq_line.size() > static_cast<size_t>(width)) {
+          // too wide for the caller's buffer: hold and signal
+          r->pend_qual.assign(line, line + full_len);
+          r->pending = true;
+          r->carry.clear();
+          return n > 0 ? n : -static_cast<int64_t>(r->seq_line.size());
+        }
+        emit_row(r, line, full_len, n, width, bases, quals, lengths);
+        ++n;
+        r->phase = 0;
+        break;
+      }
+    }
+    r->carry.clear();
+  }
+  return n;
+}
+
+// Quick pre-scan helper: decode up to `limit` bytes and report the max
+// sequence-line length seen (for width bucketing) plus first-line info.
+// Returns max length, or -1 on error.  Also writes the first two lines'
+// "looks like DNA" flags for the format check (parse.rs:377-427).
+int64_t fastq_scan_max_len(const char* path, int gz, size_t limit,
+                           int* first_is_dna, int* second_is_dna) {
+  Reader* r = static_cast<Reader*>(fastq_open(path, gz, 1 << 20));
+  if (!r) return -1;
+  int64_t maxlen = 0;
+  size_t seen = 0;
+  int phase = 0;
+  int lineno = 0;
+  std::vector<uint8_t> carry;
+  bool done = false;
+  while (!done && seen < limit) {
+    if (r->buf_pos >= r->buf_len) {
+      if (!refill(r)) break;
+    }
+    const uint8_t* p = r->buf.data() + r->buf_pos;
+    size_t avail = r->buf_len - r->buf_pos;
+    const uint8_t* nl = static_cast<const uint8_t*>(memchr(p, '\n', avail));
+    size_t line_len = nl ? static_cast<size_t>(nl - p) : avail;
+    carry.insert(carry.end(), p, p + line_len);
+    r->buf_pos += line_len + (nl ? 1 : 0);
+    seen += line_len + 1;
+    if (!nl) continue;
+    size_t full = carry.size();
+    if (full && carry[full - 1] == '\r') --full;
+    if (lineno < 2) {
+      size_t dna = 0;
+      for (size_t i = 0; i < full; ++i) {
+        uint8_t c = carry[i];
+        if (c == 'A' || c == 'C' || c == 'G' || c == 'T' || c == 'N') ++dna;
+      }
+      int is_dna = !(dna < full / 2);
+      if (lineno == 0) *first_is_dna = is_dna;
+      if (lineno == 1) *second_is_dna = is_dna;
+    }
+    if (phase == 1 && static_cast<int64_t>(full) > maxlen)
+      maxlen = static_cast<int64_t>(full);
+    phase = (phase + 1) % 4;
+    ++lineno;
+    carry.clear();
+  }
+  fastq_close(r);
+  return maxlen;
+}
+
+}  // extern "C"

@@ -1,0 +1,159 @@
+"""ctypes bindings + lazy build for the native FASTQ codec.
+
+The shared library compiles on first use with g++ -O3 (cached beside the
+source); if the toolchain is unavailable the caller falls back to the
+NumPy encoder (io/fastq.py) with identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from ngs_barcode_count_tpu.io.fastq import EncodedReads, FastqFormatError
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "_native", "fastq_codec.cpp")
+_SO = os.path.join(_DIR, "_native", "fastq_codec.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+        _SRC, "-lz", "-o", _SO + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+        os.replace(_SO + ".tmp", _SO)
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded shared library, or None if native is unavailable."""
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None:
+            return _lib
+        if _build_failed:
+            return None
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
+            _SRC
+        ):
+            if not _build():
+                _build_failed = True
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            _build_failed = True
+            return None
+        lib.fastq_open.restype = ctypes.c_void_p
+        lib.fastq_open.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t,
+        ]
+        lib.fastq_close.argtypes = [ctypes.c_void_p]
+        lib.fastq_total_reads.restype = ctypes.c_uint64
+        lib.fastq_total_reads.argtypes = [ctypes.c_void_p]
+        lib.fastq_next_batch.restype = ctypes.c_int64
+        lib.fastq_next_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.fastq_scan_max_len.restype = ctypes.c_int64
+        lib.fastq_scan_max_len.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def read_fastq_native(
+    path: str,
+    min_width: int = 0,
+    batch_reads: int = 1 << 17,
+    check_format: bool = True,
+    width_multiple: int = 32,
+) -> Iterator[EncodedReads]:
+    """Native equivalent of io.fastq.read_fastq: yields EncodedReads of up
+    to ``batch_reads`` rows, already padded to a fixed width determined by
+    a pre-scan of the file head (re-widened on demand if a longer read
+    appears later)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    if path.endswith("fastq.gz"):
+        gz = 1
+    elif path.endswith("fastq"):
+        gz = 0
+    else:
+        raise FastqFormatError(
+            "This program only works with *.fastq files and *.fastq.gz "
+            "files.  The latter is still experimental"
+        )
+
+    first = ctypes.c_int(0)
+    second = ctypes.c_int(0)
+    maxlen = lib.fastq_scan_max_len(
+        path.encode(), gz, 4 << 20, ctypes.byref(first), ctypes.byref(second)
+    )
+    if maxlen < 0:
+        raise FileNotFoundError(path)
+    if check_format and maxlen > 0:
+        if first.value:
+            raise FastqFormatError(
+                "The first line within the FASTQ contains DNA sequences.  "
+                "Check the FASTQ format"
+            )
+        if not second.value:
+            raise FastqFormatError(
+                "The second line within the FASTQ file is not a sequence. "
+                "Check the FASTQ format"
+            )
+
+    width = max(int(maxlen), min_width, 1)
+    width = -(-width // width_multiple) * width_multiple
+
+    h = lib.fastq_open(path.encode(), gz, 8 << 20)
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        while True:
+            bases = np.empty((batch_reads, width), dtype=np.int8)
+            quals = np.empty((batch_reads, width), dtype=np.int8)
+            lengths = np.empty(batch_reads, dtype=np.int32)
+            n = lib.fastq_next_batch(
+                h, batch_reads, width,
+                bases.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                quals.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+            if n == 0:
+                break
+            if n < 0:
+                # a read wider than the buffer: widen and retry (the
+                # record is held inside the native reader, nothing lost)
+                width = -(-(-n) // width_multiple) * width_multiple
+                continue
+            if n == batch_reads:
+                yield EncodedReads(bases, quals, lengths)
+            else:
+                yield EncodedReads(bases[:n], quals[:n], lengths[:n])
+    finally:
+        lib.fastq_close(h)
