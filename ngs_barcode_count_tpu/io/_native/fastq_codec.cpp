@@ -66,6 +66,11 @@ struct Reader {
   std::vector<uint8_t> pend_qual;
   bool pending = false;
   uint64_t total_reads = 0;
+  // byte-range reading (multi-host sharding, plain files only): a host
+  // owns records whose description line starts in [range_start, range_end)
+  uint64_t byte_off = 0;        // file offset of the next unconsumed byte
+  uint64_t line_start_off = 0;  // file offset where the current line began
+  uint64_t range_end = ~0ull;
   std::string error;
 };
 
@@ -139,6 +144,25 @@ void* fastq_open(const char* path, int gz, size_t chunk_bytes) {
   return r;
 }
 
+// Open a byte range of a PLAIN fastq (multi-host sharding).  `start`
+// must already be aligned to a record boundary (the Python wrapper
+// aligns it); records whose description line starts at or beyond `end`
+// belong to the next host and are not emitted.
+void* fastq_open_range(const char* path, size_t chunk_bytes,
+                       uint64_t start, uint64_t end) {
+  Reader* r = static_cast<Reader*>(fastq_open(path, 0, chunk_bytes));
+  if (!r) return nullptr;
+  if (start && fseeko(r->f, static_cast<off_t>(start), SEEK_SET) != 0) {
+    fclose(r->f);
+    delete r;
+    return nullptr;
+  }
+  r->byte_off = start;
+  r->line_start_off = start;
+  r->range_end = end;
+  return r;
+}
+
 void fastq_close(void* h) {
   Reader* r = static_cast<Reader*>(h);
   if (r->z_live) inflateEnd(&r->zs);
@@ -200,6 +224,9 @@ int64_t fastq_next_batch(void* h, int64_t cap, int64_t width,
         static_cast<const uint8_t*>(memchr(p, '\n', avail));
     size_t line_len = nl ? static_cast<size_t>(nl - p) : avail;
 
+    if (r->carry.empty()) r->line_start_off = r->byte_off;
+    r->byte_off += line_len + (nl ? 1 : 0);
+
     const uint8_t* line = p;
     size_t full_len = line_len;
     if (!r->carry.empty() || !nl) {
@@ -217,6 +244,10 @@ int64_t fastq_next_batch(void* h, int64_t cap, int64_t width,
 
     switch (r->phase) {
       case 0:  // description
+        if (r->line_start_off >= r->range_end) {  // next host's record
+          r->eof = true;
+          return n;
+        }
         r->phase = 1;
         break;
       case 1:  // sequence: stash until quality arrives

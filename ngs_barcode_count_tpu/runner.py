@@ -73,9 +73,19 @@ class RunResult:
 
 
 class CountAccumulator:
-    """Owns the mode-dependent accumulation state for a run."""
+    """Owns the mode-dependent accumulation state for a run.
 
-    def __init__(self, plan: dec.DecodePlan, conversions: BarcodeConversions):
+    ``n_devices > 1`` (dense mode only) switches the device side to the
+    sharded mesh engine: batches shard over the 'data' axis and the count
+    state lives distributed until one psum at finalize.
+    """
+
+    def __init__(
+        self,
+        plan: dec.DecodePlan,
+        conversions: BarcodeConversions,
+        n_devices: int = 1,
+    ):
         self.plan = plan
         self.conv = conversions
         self.seq_errors = SequenceErrors()
@@ -84,12 +94,24 @@ class CountAccumulator:
         self.dense_counters = None
         self.keyed: KeyedCounts | None = None
         self.dedup: RandomDedup | None = None
+        self.engine = None
+        self.engine_step = None
         if plan.dense_counts:
             self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
-            self.dense_state = self.dense.initial()
             import jax.numpy as jnp
 
-            self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            if n_devices > 1:
+                from ngs_barcode_count_tpu.parallel import mesh as pmesh
+
+                mesh = pmesh.make_mesh(n_devices, 1)
+                self.engine = pmesh.ShardedDenseEngine.build(plan, mesh)
+                self.dense_state, self.dense_counters = (
+                    self.engine.initial_state()
+                )
+                self.engine_step = self.engine.make_step()
+            else:
+                self.dense_state = self.dense.initial()
+                self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
         else:
             self.keyed = KeyedCounts()
             if plan.scheme.random_barcode:
@@ -97,6 +119,14 @@ class CountAccumulator:
 
     def step(self, batch: batcher_mod.ReadBatch) -> None:
         plan = self.plan
+        if self.engine is not None:
+            sb, sq, sl, sm = self.engine.shard_batch(
+                batch.bases, batch.quals, batch.lengths, batch.read_mask
+            )
+            self.dense_state, self.dense_counters = self.engine_step(
+                self.dense_state, self.dense_counters, sb, sq, sl, sm
+            )
+            return
         if self.dense is not None:
             self.dense_state, self.dense_counters = dec.dense_count_step(
                 plan,
@@ -142,8 +172,14 @@ class CountAccumulator:
     # -- finalization ------------------------------------------------------
 
     def finalize(self) -> None:
-        """Block on outstanding device work and fold the device counter
-        vector into the host stats (once per run, not per batch)."""
+        """Block on outstanding device work, psum the sharded state if a
+        mesh engine is active, and fold the device counter vector into the
+        host stats (once per run, not per batch)."""
+        if self.engine is not None:
+            self.dense_state, self.dense_counters = self.engine.merge(
+                self.dense_state, self.dense_counters
+            )
+            self.engine = None  # merged: results_view uses the flat tensor
         if self.dense_counters is not None:
             self.seq_errors.add_vector(np.asarray(self.dense_counters))
 
@@ -297,7 +333,22 @@ def run(config: RunConfig) -> RunResult:
     print(f"{scheme.display()}\n")
     print(f"{max_errors.display()}\n")
 
-    acc = CountAccumulator(plan, conv)
+    import jax
+
+    n_devices = config.n_devices or 1
+    if n_devices > len(jax.devices()):
+        raise ValueError(
+            f"--devices {n_devices} but only {len(jax.devices())} available"
+        )
+    if n_devices > 1 and not plan.dense_counts:
+        print(
+            "Multi-device sharding currently applies to dense-count runs; "
+            "falling back to single-device for this mode",
+            file=sys.stderr,
+        )
+        n_devices = 1
+
+    acc = CountAccumulator(plan, conv, n_devices=n_devices)
     total_reads = 0
     t0 = time.perf_counter()
     # Length bucket must fit the format; pad width in multiples of 32.

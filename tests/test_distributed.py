@@ -1,0 +1,89 @@
+"""Multi-host sharding logic: record-aligned byte ranges partition a
+FASTQ exactly; the multi-device runner path equals single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from ngs_barcode_count_tpu import dna
+from ngs_barcode_count_tpu.io import native
+from ngs_barcode_count_tpu.parallel import distributed as dist
+from ngs_barcode_count_tpu.runner import RunConfig, run, setup
+from ngs_barcode_count_tpu.utils import simulate
+
+from tests.test_end_to_end import (
+    SCHEME_TEXT,
+    gen_fastq,
+    oracle_counts,
+    write_inputs,
+    _mk_config,
+    assert_counts_equal,
+)
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_byte_ranges_partition_exactly(tmp_path, rng):
+    reads = [simulate.random_seq(rng, int(rng.integers(30, 80)))
+             for _ in range(1001)]
+    p = tmp_path / "x.fastq"
+    simulate.write_fastq(str(p), reads)
+
+    n_hosts = 3
+    ranges = [dist.host_byte_range(str(p), h, n_hosts) for h in range(n_hosts)]
+    # ranges tile the file with no gaps/overlap
+    assert ranges[0][0] == 0
+    for a, b in zip(ranges, ranges[1:]):
+        assert a[1] == b[0]
+    collected = []
+    for start, end in ranges:
+        for c in dist.read_fastq_range(str(p), start, end):
+            for i in range(c.count):
+                collected.append(dna.decode(c.bases[i, : c.lengths[i]]))
+    assert collected == reads
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_range_alignment_tricky_quality(tmp_path):
+    """Quality lines starting with '@' must not fool the aligner."""
+    reads = ["ACGTACGTAC"] * 50
+    quals = ["@" + "I" * 9] * 50  # quality line starts with '@'
+    p = tmp_path / "x.fastq"
+    simulate.write_fastq(str(p), reads, quals)
+    size = p.stat().st_size
+    for offset in range(0, size, 7):
+        aligned = dist.align_to_record(str(p), offset)
+        if aligned >= size:
+            continue
+        # every aligned offset must be a true record start: reading from
+        # it yields reads identical to ACGTACGTAC
+        chunks = list(dist.read_fastq_range(str(p), aligned, size))
+        got = [
+            dna.decode(c.bases[i, : c.lengths[i]])
+            for c in chunks
+            for i in range(c.count)
+        ]
+        assert all(g == "ACGTACGTAC" for g in got), offset
+
+
+def test_multi_device_runner_equals_single(tmp_path, rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    # dense mode (no random barcode)
+    scheme_text = SCHEME_TEXT
+    paths = write_inputs(tmp_path, scheme_text=scheme_text)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 600, rng)
+
+    cfg1 = _mk_config(tmp_path, fq, paths)
+    r1 = run(cfg1)
+    cfg8 = _mk_config(tmp_path, fq, paths, n_devices=8)
+    cfg8.prefix = "test8"
+    r8 = run(cfg8)
+    assert r1.results.per_sample == r8.results.per_sample
+    np.testing.assert_array_equal(
+        r1.seq_errors.counters, r8.seq_errors.counters
+    )
+    exp, tallies = oracle_counts(cfg1, reads, quals)
+    assert_counts_equal(r8, exp, tallies)
