@@ -105,10 +105,9 @@ def main():
         CountAccumulator,
         RunConfig,
         _enable_compile_cache,
-        encoded_chunks,
+        decode_file,
         setup,
     )
-    from ngs_barcode_count_tpu.io import batcher as Bt
 
     _enable_compile_cache()
     cfg = RunConfig(
@@ -125,29 +124,13 @@ def main():
 
     # Warmup: claim the TPU + compile the step, untimed.
     acc0 = CountAccumulator(plan, conv)
-    warm = next(
-        iter(
-            Bt.batches(
-                encoded_chunks(fastq, scheme.length, batch_size),
-                batch_size=batch_size,
-                min_width=scheme.length,
-            )
-        )
-    )
-    acc0.step(warm)
+    decode_file(cfg, plan, scheme, acc0, limit_batches=1)
     acc0.finalize()
 
     # Timed end-to-end pass.
     acc = CountAccumulator(plan, conv)
     t0 = time.perf_counter()
-    total = 0
-    for batch in Bt.batches(
-        encoded_chunks(fastq, scheme.length, batch_size),
-        batch_size=batch_size,
-        min_width=scheme.length,
-    ):
-        acc.step(batch)
-        total += batch.n_reads
+    total = decode_file(cfg, plan, scheme, acc)
     acc.finalize()
     elapsed = time.perf_counter() - t0
     rps = total / elapsed

@@ -32,9 +32,13 @@ constexpr int kOther = 5;   // dna.OTHER
 struct LookupTables {
   int8_t base[256];
   int8_t phred[256];
+  uint8_t two_bit[256];   // ACGT -> 0..3, everything else 0 (+exception)
+  uint8_t is_exc[256];    // 1 where the 2-bit code loses information
   LookupTables() {
     for (int i = 0; i < 256; ++i) {
       base[i] = kOther;
+      two_bit[i] = 0;
+      is_exc[i] = 1;
       int q = i - 33;
       phred[i] = static_cast<int8_t>(q < 0 ? 0 : (q > 93 ? 93 : q));
     }
@@ -42,6 +46,13 @@ struct LookupTables {
     for (int i = 0; i < 5; ++i) {
       base[static_cast<unsigned char>(bases[i])] = static_cast<int8_t>(i);
       base[static_cast<unsigned char>(bases[i] + 32)] = static_cast<int8_t>(i);
+    }
+    for (int i = 0; i < 4; ++i) {
+      two_bit[static_cast<unsigned char>(bases[i])] = static_cast<uint8_t>(i);
+      two_bit[static_cast<unsigned char>(bases[i] + 32)] =
+          static_cast<uint8_t>(i);
+      is_exc[static_cast<unsigned char>(bases[i])] = 0;
+      is_exc[static_cast<unsigned char>(bases[i] + 32)] = 0;
     }
   }
 };
@@ -273,6 +284,138 @@ int64_t fastq_next_batch(void* h, int64_t cap, int64_t width,
     }
     r->carry.clear();
   }
+  return n;
+}
+
+// Packed variant for minimal host->device traffic: 2 bits per base
+// (A=0 C=1 G=2 T=3) into `packed[cap * width/4]`, with information-losing
+// characters (N, rare IUPAC, etc.) emitted as (flat_index, true_code)
+// exception pairs the device scatters after unpacking.  `quals` may be
+// null when the quality gate is off (no Phred bytes cross the link).
+//
+// Returns: n > 0 reads; 0 EOF; -w (w > 1) a read needs width >= w;
+// -1 exception capacity exhausted — *exc_count holds the minimum needed
+// capacity; the in-flight record is held pending, nothing is lost.
+int64_t fastq_next_batch_packed(void* h, int64_t cap, int64_t width,
+                                uint8_t* packed, int32_t* lengths,
+                                int64_t cap_exc, int32_t* exc_idx,
+                                int8_t* exc_val, int64_t* exc_count,
+                                int8_t* quals) {
+  Reader* r = static_cast<Reader*>(h);
+  const int64_t stride = width / 4;
+  int64_t n = 0;
+  int64_t ne = 0;
+
+  auto emit_packed = [&](const uint8_t* qual, size_t qlen) -> int {
+    size_t sl = r->seq_line.size();
+    // count exceptions first so overflow can hold the whole record
+    size_t exc_here = 0;
+    for (size_t i = 0; i < sl; ++i)
+      exc_here += kTables.is_exc[r->seq_line[i]];
+    if (static_cast<int64_t>(ne + exc_here) > cap_exc) {
+      *exc_count = -static_cast<int64_t>(ne + exc_here);
+      return -1;
+    }
+    uint8_t* prow = packed + n * stride;
+    memset(prow, 0, stride);
+    int64_t row_base = n * width;
+    for (size_t i = 0; i < sl; ++i) {
+      uint8_t ch = r->seq_line[i];
+      prow[i >> 2] |= kTables.two_bit[ch] << ((i & 3) << 1);
+      if (kTables.is_exc[ch]) {
+        exc_idx[ne] = static_cast<int32_t>(row_base + i);
+        exc_val[ne] = kTables.base[ch];
+        ++ne;
+      }
+    }
+    if (quals) {
+      int8_t* qrow = quals + n * width;
+      size_t ql = qlen < sl ? qlen : sl;
+      for (size_t i = 0; i < ql; ++i) qrow[i] = kTables.phred[qual[i]];
+      memset(qrow + ql, 0, width - ql);
+    }
+    lengths[n] = static_cast<int32_t>(sl);
+    ++r->total_reads;
+    return 0;
+  };
+
+  if (r->pending) {
+    int64_t need = static_cast<int64_t>(r->seq_line.size());
+    if (need > width) return -need;
+    if (emit_packed(r->pend_qual.data(), r->pend_qual.size()) != 0) return -1;
+    ++n;
+    r->pending = false;
+    r->phase = 0;
+  }
+  while (n < cap) {
+    if (r->buf_pos >= r->buf_len) {
+      if (!refill(r)) break;
+    }
+    const uint8_t* p = r->buf.data() + r->buf_pos;
+    size_t avail = r->buf_len - r->buf_pos;
+    const uint8_t* nl = static_cast<const uint8_t*>(memchr(p, '\n', avail));
+    size_t line_len = nl ? static_cast<size_t>(nl - p) : avail;
+
+    if (r->carry.empty()) r->line_start_off = r->byte_off;
+    r->byte_off += line_len + (nl ? 1 : 0);
+
+    const uint8_t* line = p;
+    size_t full_len = line_len;
+    if (!r->carry.empty() || !nl) {
+      r->carry.insert(r->carry.end(), p, p + line_len);
+      r->buf_pos += line_len + (nl ? 1 : 0);
+      if (!nl) continue;
+      line = r->carry.data();
+      full_len = r->carry.size();
+    } else {
+      r->buf_pos += line_len + 1;
+    }
+    if (full_len && line[full_len - 1] == '\r') --full_len;
+
+    switch (r->phase) {
+      case 0:
+        if (r->line_start_off >= r->range_end) {
+          r->eof = true;
+          *exc_count = ne;
+          return n;
+        }
+        r->phase = 1;
+        break;
+      case 1:
+        r->seq_line.assign(line, line + full_len);
+        r->phase = 2;
+        break;
+      case 2:
+        r->phase = 3;
+        break;
+      case 3: {
+        if (r->seq_line.size() > static_cast<size_t>(width)) {
+          r->pend_qual.assign(line, line + full_len);
+          r->pending = true;
+          r->carry.clear();
+          *exc_count = ne;
+          return n > 0 ? n : -static_cast<int64_t>(r->seq_line.size());
+        }
+        if (emit_packed(line, full_len) != 0) {
+          r->pend_qual.assign(line, line + full_len);
+          r->pending = true;
+          r->carry.clear();
+          if (n > 0) {  // emit what we have; pending resumes next call
+            // exc_count currently holds -(needed); restore count for this
+            // batch and let the next call grow if still needed
+            *exc_count = ne;
+            return n;
+          }
+          return -1;  // *exc_count = -(needed)
+        }
+        ++n;
+        r->phase = 0;
+        break;
+      }
+    }
+    r->carry.clear();
+  }
+  *exc_count = ne;
   return n;
 }
 

@@ -26,6 +26,25 @@ _lib = None
 _build_failed = False
 
 
+class PackedReads:
+    """A fixed-size batch in wire format: 2-bit packed bases + sparse
+    exceptions (see fastq_codec.cpp fastq_next_batch_packed).  ``quals``
+    is None when the quality gate is off."""
+
+    __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
+                 "n_reads", "width")
+
+    def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
+                 width):
+        self.packed = packed
+        self.lengths = lengths
+        self.exc_idx = exc_idx
+        self.exc_val = exc_val
+        self.quals = quals
+        self.n_reads = n_reads
+        self.width = width
+
+
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
@@ -75,6 +94,14 @@ def get_lib():
         lib.fastq_scan_max_len.argtypes = [
             ctypes.c_char_p, ctypes.c_int, ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fastq_next_batch_packed.restype = ctypes.c_int64
+        lib.fastq_next_batch_packed.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int8),
         ]
         _lib = lib
         return _lib
@@ -155,5 +182,96 @@ def read_fastq_native(
                 yield EncodedReads(bases, quals, lengths)
             else:
                 yield EncodedReads(bases[:n], quals[:n], lengths[:n])
+    finally:
+        lib.fastq_close(h)
+
+
+def read_fastq_native_packed(
+    path: str,
+    min_width: int = 0,
+    batch_reads: int = 1 << 17,
+    with_quals: bool = False,
+    check_format: bool = True,
+    width_multiple: int = 32,
+) -> Iterator[PackedReads]:
+    """Wire-format reader: yields PackedReads of EXACTLY ``batch_reads``
+    rows (the final batch zero-padded; consumers mask by n_reads).  The
+    2-bit pack quarters host->device traffic vs int8 codes, and Phred
+    bytes are only materialized when the quality gate needs them."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native codec unavailable")
+    if path.endswith("fastq.gz"):
+        gz = 1
+    elif path.endswith("fastq"):
+        gz = 0
+    else:
+        raise FastqFormatError(
+            "This program only works with *.fastq files and *.fastq.gz "
+            "files.  The latter is still experimental"
+        )
+    first = ctypes.c_int(0)
+    second = ctypes.c_int(0)
+    maxlen = lib.fastq_scan_max_len(
+        path.encode(), gz, 4 << 20, ctypes.byref(first), ctypes.byref(second)
+    )
+    if maxlen < 0:
+        raise FileNotFoundError(path)
+    if check_format and maxlen > 0:
+        if first.value:
+            raise FastqFormatError(
+                "The first line within the FASTQ contains DNA sequences.  "
+                "Check the FASTQ format"
+            )
+        if not second.value:
+            raise FastqFormatError(
+                "The second line within the FASTQ file is not a sequence. "
+                "Check the FASTQ format"
+            )
+
+    width_multiple = max(width_multiple, 4)
+    width = max(int(maxlen), min_width, 1)
+    width = -(-width // width_multiple) * width_multiple
+    cap_exc = max(4096, batch_reads * width // 64)
+
+    h = lib.fastq_open(path.encode(), gz, 8 << 20)
+    if not h:
+        raise FileNotFoundError(path)
+    I8 = ctypes.POINTER(ctypes.c_int8)
+    try:
+        while True:
+            packed = np.zeros((batch_reads, width // 4), dtype=np.uint8)
+            lengths = np.zeros(batch_reads, dtype=np.int32)
+            exc_idx = np.full(cap_exc, -1, dtype=np.int32)
+            exc_val = np.zeros(cap_exc, dtype=np.int8)
+            quals = (
+                np.zeros((batch_reads, width), dtype=np.int8)
+                if with_quals
+                else None
+            )
+            nexc = ctypes.c_int64(0)
+            n = lib.fastq_next_batch_packed(
+                h, batch_reads, width,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cap_exc,
+                exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                exc_val.ctypes.data_as(I8),
+                ctypes.byref(nexc),
+                quals.ctypes.data_as(I8) if with_quals else I8(),
+            )
+            if n == 0:
+                break
+            if n == -1:  # exception capacity: grow to what the codec needs
+                cap_exc = max(cap_exc * 2, -nexc.value)
+                continue
+            if n < -1:  # width growth
+                width = -(-(-n) // width_multiple) * width_multiple
+                continue
+            ne = nexc.value
+            exc_idx[ne:] = -1
+            yield PackedReads(
+                packed, lengths, exc_idx, exc_val, quals, int(n), width
+            )
     finally:
         lib.fastq_close(h)

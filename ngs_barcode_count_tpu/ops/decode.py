@@ -450,3 +450,61 @@ def keyed_decode_step(plan: DecodePlan, bases, quals, lengths, read_mask):
     """Decode step for raw-DNA / random-barcode modes: returns per-read
     outputs for host-side keyed accumulation and dedup."""
     return decode_batch(plan, bases, quals, lengths, read_mask)
+
+
+# ---------------------------------------------------------------------------
+# Wire-format (2-bit packed) entry points
+# ---------------------------------------------------------------------------
+
+
+def unpack_bases(packed, exc_idx, exc_val, width: int):
+    """[B, W/4] uint8 wire format -> [B, W] int8 base codes.
+
+    2-bit fields decode to A/C/G/T; the sparse exception list then
+    scatters the true codes (N, OTHER) over the flat tensor.  Padding
+    exception slots carry index -1 and are dropped by the scatter.
+    """
+    B = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    bases = (packed[:, :, None] >> shifts[None, None, :]) & 3
+    bases = bases.reshape(B, width).astype(jnp.int8)
+    flat = bases.reshape(-1)
+    flat = flat.at[exc_idx].set(exc_val, mode="drop")
+    return flat.reshape(B, width)
+
+
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1, 2))
+def dense_count_step_packed(
+    plan: DecodePlan, counts, counters, packed, lengths, exc_idx, exc_val,
+    width: int, n_reads,
+):
+    """dense_count_step on wire-format input (quality gate off: Phred
+    bytes never cross the host-device link).  ``n_reads`` is a [1] int32
+    device scalar so partial final batches don't trigger a recompile."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    quals = jnp.zeros((B, 1), jnp.int8)  # unused: min_quality == 0
+    return dense_count_step.__wrapped__(
+        plan, counts, counters, bases, quals, lengths, read_mask
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
+def dense_count_step_packed_q(
+    plan: DecodePlan, counts, counters, packed, lengths, exc_idx, exc_val,
+    quals, width: int, n_reads,
+):
+    """Wire-format step with the quality gate on (Phred lanes shipped)."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    return dense_count_step.__wrapped__(
+        plan, counts, counters, bases, quals, lengths, read_mask
+    )

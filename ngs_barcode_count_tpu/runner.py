@@ -117,6 +117,27 @@ class CountAccumulator:
             if plan.scheme.random_barcode:
                 self.dedup = RandomDedup()
 
+    def step_packed(self, pb) -> None:
+        """Wire-format fast path (dense mode): 2-bit packed bases go
+        straight to the device; Phred lanes ship only when the quality
+        gate is on."""
+        plan = self.plan
+        n = np.array([pb.n_reads], np.int32)
+        if pb.quals is not None:
+            self.dense_state, self.dense_counters = (
+                dec.dense_count_step_packed_q(
+                    plan, self.dense_state, self.dense_counters, pb.packed,
+                    pb.lengths, pb.exc_idx, pb.exc_val, pb.quals, pb.width, n,
+                )
+            )
+        else:
+            self.dense_state, self.dense_counters = (
+                dec.dense_count_step_packed(
+                    plan, self.dense_state, self.dense_counters, pb.packed,
+                    pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n,
+                )
+            )
+
     def step(self, batch: batcher_mod.ReadBatch) -> None:
         plan = self.plan
         if self.engine is not None:
@@ -307,6 +328,65 @@ def encoded_chunks(path: str, min_width: int, batch_size: int):
     return fastq_mod.read_fastq(path, min_width=min_width)
 
 
+def decode_file(
+    config: RunConfig,
+    plan: dec.DecodePlan,
+    scheme: SequenceScheme,
+    acc: CountAccumulator,
+    n_devices: int = 1,
+    limit_batches: int | None = None,
+) -> int:
+    """Stream config.fastq through the accumulator; returns total reads.
+
+    Dense single-device runs take the wire-format fast path (2-bit packed
+    bases direct from the native codec, no Phred bytes when the quality
+    gate is off); everything else goes through the EncodedReads batcher.
+    """
+    from ngs_barcode_count_tpu.io import native as native_mod
+
+    min_width = scheme.length
+    total_reads = 0
+    n_batches = 0
+    use_packed = (
+        plan.dense_counts
+        and acc.engine is None
+        and native_mod.available()
+        and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
+    )
+    if use_packed:
+        for pb in native_mod.read_fastq_native_packed(
+            config.fastq,
+            min_width=min_width,
+            batch_reads=config.batch_size,
+            with_quals=plan.min_quality > 0.0,
+        ):
+            acc.step_packed(pb)
+            total_reads += pb.n_reads
+            n_batches += 1
+            if limit_batches and n_batches >= limit_batches:
+                break
+            if config.progress:
+                print(
+                    f"Total sequences:             {total_reads:,}\r", end=""
+                )
+    else:
+        for batch in batcher_mod.batches(
+            encoded_chunks(config.fastq, min_width, config.batch_size),
+            batch_size=config.batch_size,
+            min_width=min_width,
+        ):
+            acc.step(batch)
+            total_reads += batch.n_reads
+            n_batches += 1
+            if limit_batches and n_batches >= limit_batches:
+                break
+            if config.progress:
+                print(
+                    f"Total sequences:             {total_reads:,}\r", end=""
+                )
+    return total_reads
+
+
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: repeat runs skip recompiles."""
     import jax
@@ -349,19 +429,8 @@ def run(config: RunConfig) -> RunResult:
         n_devices = 1
 
     acc = CountAccumulator(plan, conv, n_devices=n_devices)
-    total_reads = 0
     t0 = time.perf_counter()
-    # Length bucket must fit the format; pad width in multiples of 32.
-    min_width = scheme.length
-    for batch in batcher_mod.batches(
-        encoded_chunks(config.fastq, min_width, config.batch_size),
-        batch_size=config.batch_size,
-        min_width=min_width,
-    ):
-        acc.step(batch)
-        total_reads += batch.n_reads
-        if config.progress:
-            print(f"Total sequences:             {total_reads:,}\r", end="")
+    total_reads = decode_file(config, plan, scheme, acc, n_devices)
     acc.finalize()  # blocks on outstanding device work
     compute_s = time.perf_counter() - t0
     print(f"Total sequences:             {total_reads:,}")

@@ -1,0 +1,133 @@
+"""Wire-format (2-bit packed + exception) path: must equal the int8 path
+exactly, including N-heavy reads (exception scatter), quality-gated runs,
+and partial final batches."""
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu.io import native
+from ngs_barcode_count_tpu.runner import (
+    CountAccumulator,
+    RunConfig,
+    decode_file,
+    setup,
+)
+from ngs_barcode_count_tpu.utils import simulate
+
+from tests.test_end_to_end import (
+    SCHEME_TEXT,
+    gen_fastq,
+    oracle_counts,
+    write_inputs,
+    _mk_config,
+    assert_counts_equal,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec not built"
+)
+
+
+def _run_both(tmp_path, cfg, n_expected):
+    """Run once packed (default) and once forced-NumPy; compare."""
+    import os
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_packed = CountAccumulator(plan, conv)
+    n1 = decode_file(cfg, plan, scheme, acc_packed)
+    acc_packed.finalize()
+
+    os.environ["NGS_FORCE_NUMPY_INGEST"] = "1"
+    try:
+        acc_plain = CountAccumulator(plan, conv)
+        n2 = decode_file(cfg, plan, scheme, acc_plain)
+        acc_plain.finalize()
+    finally:
+        del os.environ["NGS_FORCE_NUMPY_INGEST"]
+
+    assert n1 == n2 == n_expected
+    np.testing.assert_array_equal(
+        acc_packed.seq_errors.counters, acc_plain.seq_errors.counters
+    )
+    np.testing.assert_array_equal(
+        np.asarray(acc_packed.dense_state), np.asarray(acc_plain.dense_state)
+    )
+    return acc_packed
+
+
+def test_packed_equals_plain_with_ns(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 500, rng)
+    # salt reads with Ns and odd characters (exception path)
+    noisy = []
+    for r in reads:
+        r = list(r)
+        for _ in range(int(rng.integers(0, 5))):
+            r[int(rng.integers(0, len(r)))] = "N"
+        noisy.append("".join(r))
+    fq2 = str(tmp_path / "noisy.fastq")
+    simulate.write_fastq(fq2, noisy, quals)
+    cfg = _mk_config(tmp_path, fq2, paths)
+    # batch_size 128 -> several batches + partial final batch
+    cfg.batch_size = 128
+    acc = _run_both(tmp_path, cfg, len(noisy))
+    exp, tallies = oracle_counts(cfg, noisy, quals)
+    from ngs_barcode_count_tpu import stats as S
+
+    assert acc.seq_errors.counters[S.MATCHED] == tallies["matched"]
+
+
+def test_packed_quality_gate(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 300, rng, quality_range=(15, 41)
+    )
+    cfg = _mk_config(tmp_path, fq, paths, min_average_quality_score=30.0)
+    cfg.batch_size = 256
+    acc = _run_both(tmp_path, cfg, len(reads))
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    from ngs_barcode_count_tpu import stats as S
+
+    assert tallies["low_quality"] > 0
+    assert acc.seq_errors.counters[S.LOW_QUALITY] == tallies["low_quality"]
+    assert acc.seq_errors.counters[S.MATCHED] == tallies["matched"]
+
+
+def test_packed_reader_roundtrip(tmp_path, rng):
+    """PackedReads unpacks to the exact base codes of the plain reader."""
+    from ngs_barcode_count_tpu import dna
+    from ngs_barcode_count_tpu.io import fastq as F
+
+    reads = []
+    for _ in range(77):
+        r = list(simulate.random_seq(rng, int(rng.integers(20, 60))))
+        for _ in range(int(rng.integers(0, 6))):
+            r[int(rng.integers(0, len(r)))] = "NX?"[int(rng.integers(0, 3))]
+        reads.append("".join(r))
+    p = tmp_path / "x.fastq"
+    simulate.write_fastq(str(p), reads)
+
+    import jax
+
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+    got = []
+    for pb in native.read_fastq_native_packed(str(p), batch_reads=32):
+        bases = np.asarray(
+            jax.jit(unpack_bases, static_argnums=3)(
+                pb.packed, pb.exc_idx, pb.exc_val, pb.width
+            )
+        )
+        for i in range(pb.n_reads):
+            got.append(dna.decode(bases[i, : pb.lengths[i]]))
+    want = [
+        "".join(
+            c if c in "ACGTN" else "?" for c in r
+        )
+        for r in reads
+    ]
+    assert got == want
