@@ -1,0 +1,97 @@
+"""Checkpoint / resume for long count runs (SURVEY.md section 5 lists
+this as absent in the reference; here multi-hour 400M-read runs can
+snapshot the count state and resume from the exact FASTQ byte offset).
+
+A checkpoint is a .npz holding the dense count tensor, the counter
+vector, the next unread FASTQ byte offset, and a config fingerprint that
+guards against resuming with different inputs.  Keyed/random-mode state
+(host dicts + dedup keys) is pickled alongside.  Plain FASTQ only (a
+gzip stream has no seekable record offsets without an index).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import pickle
+
+import numpy as np
+
+
+def config_fingerprint(config) -> str:
+    h = hashlib.sha256()
+    for p in (
+        config.format,
+        config.sample_barcodes_option,
+        config.counted_barcodes_option,
+    ):
+        if p and os.path.exists(p):
+            with open(p, "rb") as f:
+                h.update(f.read())
+        h.update(b"|")
+    h.update(
+        json.dumps(
+            [
+                config.fastq,
+                config.barcodes_errors_option,
+                config.sample_errors_option,
+                config.constant_errors_option,
+                config.min_average_quality_score,
+            ]
+        ).encode()
+    )
+    return h.hexdigest()
+
+
+def save(path: str, acc, byte_offset: int, total_reads: int,
+         fingerprint: str) -> None:
+    """Atomic snapshot (write tmp + rename)."""
+    state = {
+        "byte_offset": np.int64(byte_offset),
+        "total_reads": np.int64(total_reads),
+        "fingerprint": np.frombuffer(
+            fingerprint.encode(), dtype=np.uint8
+        ),
+    }
+    if acc.dense_state is not None:
+        state["counts"] = np.asarray(acc.dense_state)
+        state["counters"] = np.asarray(acc.dense_counters)
+    if acc.keyed is not None:
+        blob = {
+            "counts": acc.keyed.counts,
+            "host_counters": acc.seq_errors.counters,
+            "dedup_keys": acc.dedup._keys if acc.dedup is not None else None,
+        }
+        state["keyed_pickle"] = np.frombuffer(
+            pickle.dumps(blob), dtype=np.uint8
+        )
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **state)
+    os.replace(tmp, path)
+
+
+def load(path: str, acc, fingerprint: str) -> tuple[int, int]:
+    """Restore accumulator state; returns (byte_offset, total_reads).
+    Raises if the fingerprint doesn't match the saved run."""
+    with np.load(path, allow_pickle=False) as z:
+        saved_fp = bytes(z["fingerprint"]).decode()
+        if saved_fp != fingerprint:
+            raise ValueError(
+                "checkpoint was created with different inputs "
+                "(scheme/conversion files or error budgets changed)"
+            )
+        byte_offset = int(z["byte_offset"])
+        total_reads = int(z["total_reads"])
+        if "counts" in z:
+            import jax.numpy as jnp
+
+            acc.dense_state = jnp.asarray(z["counts"])
+            acc.dense_counters = jnp.asarray(z["counters"])
+        if "keyed_pickle" in z:
+            blob = pickle.loads(bytes(z["keyed_pickle"]))
+            acc.keyed.counts = blob["counts"]
+            acc.seq_errors.counters = blob["host_counters"]
+            if acc.dedup is not None and blob["dedup_keys"] is not None:
+                acc.dedup._keys = blob["dedup_keys"]
+    return byte_offset, total_reads

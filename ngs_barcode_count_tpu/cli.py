@@ -90,6 +90,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--no-progress", action="store_true", help="Disable progress output"
     )
+    p.add_argument(
+        "--checkpoint-interval", type=float, default=0.0,
+        help="Snapshot count state every N seconds (0 = off; plain fastq, "
+        "dense mode)",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="Resume from the run's checkpoint file",
+    )
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="Write a jax.profiler trace of the decode loop here",
+    )
     return p
 
 
@@ -111,6 +124,9 @@ def main(argv: list[str] | None = None) -> int:
         batch_size=args.batch_size,
         n_devices=args.devices,
         progress=not args.no_progress,
+        checkpoint_interval_s=args.checkpoint_interval,
+        resume=args.resume,
+        profile_dir=args.profile_dir,
     )
     run(config)
     return 0

@@ -185,6 +185,19 @@ uint64_t fastq_total_reads(void* h) {
   return static_cast<Reader*>(h)->total_reads;
 }
 
+// Byte offset of the next unconsumed record (valid at batch boundaries
+// when no record is held pending; plain files only).  Used for
+// checkpoint/resume: reopen with fastq_open_range(path, ..., tell, ~0).
+uint64_t fastq_tell(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  return r->byte_off;
+}
+
+int fastq_has_pending(void* h) {
+  Reader* r = static_cast<Reader*>(h);
+  return (r->pending || !r->carry.empty() || r->phase != 0) ? 1 : 0;
+}
+
 namespace {
 
 // Emit one parsed (seq_line, qual) record into row n.

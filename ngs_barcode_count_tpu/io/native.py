@@ -32,10 +32,10 @@ class PackedReads:
     is None when the quality gate is off."""
 
     __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
-                 "n_reads", "width")
+                 "n_reads", "width", "next_offset")
 
     def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
-                 width):
+                 width, next_offset=-1):
         self.packed = packed
         self.lengths = lengths
         self.exc_idx = exc_idx
@@ -43,6 +43,9 @@ class PackedReads:
         self.quals = quals
         self.n_reads = n_reads
         self.width = width
+        # byte offset of the next unread record (-1 when unknown):
+        # checkpoint/resume restarts ingest exactly here
+        self.next_offset = next_offset
 
 
 def _build() -> bool:
@@ -102,6 +105,15 @@ def get_lib():
             ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int8), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int8),
+        ]
+        lib.fastq_tell.restype = ctypes.c_uint64
+        lib.fastq_tell.argtypes = [ctypes.c_void_p]
+        lib.fastq_has_pending.restype = ctypes.c_int
+        lib.fastq_has_pending.argtypes = [ctypes.c_void_p]
+        lib.fastq_open_range.restype = ctypes.c_void_p
+        lib.fastq_open_range.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_uint64,
         ]
         _lib = lib
         return _lib
@@ -193,6 +205,7 @@ def read_fastq_native_packed(
     with_quals: bool = False,
     check_format: bool = True,
     width_multiple: int = 32,
+    start_offset: int = 0,
 ) -> Iterator[PackedReads]:
     """Wire-format reader: yields PackedReads of EXACTLY ``batch_reads``
     rows (the final batch zero-padded; consumers mask by n_reads).  The
@@ -234,7 +247,16 @@ def read_fastq_native_packed(
     width = -(-width // width_multiple) * width_multiple
     cap_exc = max(4096, batch_reads * width // 64)
 
-    h = lib.fastq_open(path.encode(), gz, 8 << 20)
+    if start_offset > 0:
+        if gz:
+            raise ValueError(
+                "resume from a byte offset requires an uncompressed fastq"
+            )
+        h = lib.fastq_open_range(
+            path.encode(), 8 << 20, start_offset, (1 << 63) - 1
+        )
+    else:
+        h = lib.fastq_open(path.encode(), gz, 8 << 20)
     if not h:
         raise FileNotFoundError(path)
     I8 = ctypes.POINTER(ctypes.c_int8)
@@ -270,8 +292,14 @@ def read_fastq_native_packed(
                 continue
             ne = nexc.value
             exc_idx[ne:] = -1
+            tell = (
+                int(lib.fastq_tell(h))
+                if not gz and not lib.fastq_has_pending(h)
+                else -1
+            )
             yield PackedReads(
-                packed, lengths, exc_idx, exc_val, quals, int(n), width
+                packed, lengths, exc_idx, exc_val, quals, int(n), width,
+                next_offset=tell,
             )
     finally:
         lib.fastq_close(h)

@@ -104,13 +104,6 @@ def read_fastq_range(
     lib = native.get_lib()
     if lib is None:
         raise RuntimeError("native codec unavailable")
-    if not hasattr(lib, "_range_configured"):
-        lib.fastq_open_range.restype = ctypes.c_void_p
-        lib.fastq_open_range.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
-            ctypes.c_uint64,
-        ]
-        lib._range_configured = True
 
     first = ctypes.c_int(0)
     second = ctypes.c_int(0)

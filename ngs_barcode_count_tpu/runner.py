@@ -58,6 +58,17 @@ class RunConfig:
     batch_size: int = 1 << 17
     n_devices: int = 0  # 0 = all local devices
     progress: bool = True
+    # checkpoint/resume (plain fastq, dense mode): snapshot every N
+    # seconds; 0 disables.  resume=True restores from the checkpoint file
+    checkpoint_interval_s: float = 0.0
+    resume: bool = False
+    profile_dir: str | None = None
+
+    @property
+    def checkpoint_path(self) -> str:
+        return os.path.join(
+            self.output_dir, f"{self.prefix}_checkpoint.npz"
+        )
 
 
 @dataclass
@@ -353,16 +364,50 @@ def decode_file(
         and native_mod.available()
         and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
     )
+    checkpointing = config.checkpoint_interval_s > 0 and use_packed
+    start_offset = 0
+    if config.resume:
+        if not use_packed:
+            raise ValueError(
+                "resume requires the dense-mode native path "
+                "(plain fastq, single device)"
+            )
+        from ngs_barcode_count_tpu import checkpoint as ckpt
+
+        fp = ckpt.config_fingerprint(config)
+        start_offset, total_reads = ckpt.load(
+            config.checkpoint_path, acc, fp
+        )
+        print(
+            f"Resumed from {config.checkpoint_path}: "
+            f"{total_reads:,} reads done, offset {start_offset}"
+        )
     if use_packed:
+        from ngs_barcode_count_tpu import checkpoint as ckpt
+
+        fp = ckpt.config_fingerprint(config) if checkpointing else ""
+        last_ckpt = time.perf_counter()
         for pb in native_mod.read_fastq_native_packed(
             config.fastq,
             min_width=min_width,
             batch_reads=config.batch_size,
             with_quals=plan.min_quality > 0.0,
+            start_offset=start_offset,
         ):
             acc.step_packed(pb)
             total_reads += pb.n_reads
             n_batches += 1
+            if (
+                checkpointing
+                and pb.next_offset >= 0
+                and time.perf_counter() - last_ckpt
+                >= config.checkpoint_interval_s
+            ):
+                ckpt.save(
+                    config.checkpoint_path, acc, pb.next_offset,
+                    total_reads, fp,
+                )
+                last_ckpt = time.perf_counter()
             if limit_batches and n_batches >= limit_batches:
                 break
             if config.progress:
@@ -430,8 +475,11 @@ def run(config: RunConfig) -> RunResult:
 
     acc = CountAccumulator(plan, conv, n_devices=n_devices)
     t0 = time.perf_counter()
-    total_reads = decode_file(config, plan, scheme, acc, n_devices)
-    acc.finalize()  # blocks on outstanding device work
+    from ngs_barcode_count_tpu.utils.tracing import profile_to
+
+    with profile_to(config.profile_dir):
+        total_reads = decode_file(config, plan, scheme, acc, n_devices)
+        acc.finalize()  # blocks on outstanding device work
     compute_s = time.perf_counter() - t0
     print(f"Total sequences:             {total_reads:,}")
 

@@ -1,0 +1,84 @@
+"""Checkpoint/resume: interrupt a dense run mid-file, resume from the
+snapshot, final counts must equal an uninterrupted run."""
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu import checkpoint as ckpt
+from ngs_barcode_count_tpu.io import native
+from ngs_barcode_count_tpu.runner import (
+    CountAccumulator,
+    decode_file,
+    setup,
+)
+
+from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec not built"
+)
+
+
+def test_checkpoint_resume_equals_full_run(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 1000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+
+    # uninterrupted run
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    # interrupted run: stop after 3 batches, checkpoint, then resume
+    acc_a = CountAccumulator(plan, conv)
+    fp = ckpt.config_fingerprint(cfg)
+    # run 3 batches manually to capture the byte offset
+    from ngs_barcode_count_tpu.io import native as native_mod
+
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(
+        native_mod.read_fastq_native_packed(
+            cfg.fastq, min_width=scheme.length, batch_reads=cfg.batch_size
+        )
+    ):
+        acc_a.step_packed(pb)
+        total_a += pb.n_reads
+        if i == 2:
+            assert pb.next_offset > 0
+            offset = pb.next_offset
+            break
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    # resume in a fresh accumulator
+    cfg.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full == 1000
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
+
+
+def test_fingerprint_mismatch_rejected(tmp_path, rng):
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 100, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc, limit_batches=1)
+    ckpt.save(cfg.checkpoint_path, acc, 123, 42,
+              ckpt.config_fingerprint(cfg))
+    with pytest.raises(ValueError, match="different inputs"):
+        ckpt.load(cfg.checkpoint_path, acc, "someotherfingerprint")
