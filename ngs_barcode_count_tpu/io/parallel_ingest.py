@@ -1,0 +1,201 @@
+"""Multi-threaded wire-format ingest.
+
+The reference dedicates one thread to reading and N-1 to parsing over a
+mutex deque (main.rs:69-121).  Here the equivalent producer pool is T
+threads, each running the native codec over its own record-aligned byte
+range of the FASTQ (parallel/distributed.py's host-sharding machinery,
+reused intra-host); the ctypes call releases the GIL, so packing runs
+truly parallel.  Batches flow through a small bounded queue to the
+device-dispatch (main) thread, which overlaps transfers/compute with
+parsing.
+
+Order across shards is arbitrary — counting is order-independent, as is
+every stat counter.  Gzip inputs cannot be range-split (no seekable
+members) and use a single producer thread, which still overlaps with
+device work.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator
+
+from ngs_barcode_count_tpu.io import native
+from ngs_barcode_count_tpu.io.native import PackedReads
+from ngs_barcode_count_tpu.parallel import distributed as dist
+
+_SENTINEL = None
+
+
+def read_fastq_packed_parallel(
+    path: str,
+    min_width: int = 0,
+    batch_reads: int = 1 << 17,
+    with_quals: bool = False,
+    n_threads: int = 0,
+    queue_depth: int = 4,
+    start_offset: int = 0,
+) -> Iterator[PackedReads]:
+    """Yields PackedReads from T parallel range readers (plain FASTQ) or
+    one background reader (gzip / tiny files / resume)."""
+    if n_threads <= 0:
+        n_threads = min(4, os.cpu_count() or 1)
+    gz = path.endswith(".gz")
+    size = os.path.getsize(path)
+    # Small files or resume-from-offset: one background thread.
+    if gz or size < (64 << 20) or start_offset > 0 or n_threads == 1:
+        ranges = None
+    else:
+        ranges = [
+            dist.host_byte_range(path, t, n_threads)
+            for t in range(n_threads)
+        ]
+        ranges = [(s, e) for s, e in ranges if e > s]
+
+    q: queue.Queue = queue.Queue(maxsize=queue_depth)
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def produce_whole():
+        try:
+            for pb in native.read_fastq_native_packed(
+                path,
+                min_width=min_width,
+                batch_reads=batch_reads,
+                with_quals=with_quals,
+                start_offset=start_offset,
+            ):
+                if stop.is_set():
+                    return
+                q.put(pb)
+        except BaseException as e:  # surfaced in the consumer
+            errors.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    def produce_range(start: int, end: int, check_format: bool):
+        try:
+            it = _packed_range_iter(
+                path, start, end, min_width, batch_reads, with_quals,
+                check_format,
+            )
+            for pb in it:
+                if stop.is_set():
+                    return
+                q.put(pb)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    if ranges is None:
+        threads = [threading.Thread(target=produce_whole, daemon=True)]
+    else:
+        threads = [
+            threading.Thread(
+                target=produce_range, args=(s, e, i == 0), daemon=True
+            )
+            for i, (s, e) in enumerate(ranges)
+        ]
+    for t in threads:
+        t.start()
+    live = len(threads)
+    try:
+        while live:
+            item = q.get()
+            if item is _SENTINEL:
+                live -= 1
+                continue
+            yield item
+        if errors:
+            raise errors[0]
+    finally:
+        stop.set()
+        # drain so producers blocked on put() can exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def _packed_range_iter(
+    path: str,
+    start: int,
+    end: int,
+    min_width: int,
+    batch_reads: int,
+    with_quals: bool,
+    check_format: bool,
+):
+    """read_fastq_native_packed over a byte range (plain files)."""
+    import ctypes
+
+    import numpy as np
+
+    from ngs_barcode_count_tpu.io.fastq import FastqFormatError
+
+    lib = native.get_lib()
+    first = ctypes.c_int(0)
+    second = ctypes.c_int(0)
+    maxlen = lib.fastq_scan_max_len(
+        path.encode(), 0, 4 << 20, ctypes.byref(first), ctypes.byref(second)
+    )
+    if check_format and maxlen > 0:
+        if first.value:
+            raise FastqFormatError(
+                "The first line within the FASTQ contains DNA sequences.  "
+                "Check the FASTQ format"
+            )
+        if not second.value:
+            raise FastqFormatError(
+                "The second line within the FASTQ file is not a sequence. "
+                "Check the FASTQ format"
+            )
+    width = max(int(maxlen), min_width, 1)
+    width = -(-width // 4) * 4
+    width = -(-width // 32) * 32
+    cap_exc = max(4096, batch_reads * width // 64)
+
+    h = lib.fastq_open_range(path.encode(), 8 << 20, start, end)
+    if not h:
+        raise FileNotFoundError(path)
+    I8 = ctypes.POINTER(ctypes.c_int8)
+    try:
+        while True:
+            packed = np.zeros((batch_reads, width // 4), dtype=np.uint8)
+            lengths = np.zeros(batch_reads, dtype=np.int32)
+            exc_idx = np.full(cap_exc, -1, dtype=np.int32)
+            exc_val = np.zeros(cap_exc, dtype=np.int8)
+            quals = (
+                np.zeros((batch_reads, width), dtype=np.int8)
+                if with_quals
+                else None
+            )
+            nexc = ctypes.c_int64(0)
+            n = lib.fastq_next_batch_packed(
+                h, batch_reads, width,
+                packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                cap_exc,
+                exc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                exc_val.ctypes.data_as(I8),
+                ctypes.byref(nexc),
+                quals.ctypes.data_as(I8) if with_quals else I8(),
+            )
+            if n == 0:
+                break
+            if n == -1:
+                cap_exc = max(cap_exc * 2, -nexc.value)
+                continue
+            if n < -1:
+                width = -(-(-n) // 32) * 32
+                continue
+            exc_idx[nexc.value:] = -1
+            yield PackedReads(
+                packed, lengths, exc_idx, exc_val, quals, int(n), width
+            )
+    finally:
+        lib.fastq_close(h)

@@ -384,15 +384,21 @@ def decode_file(
         )
     if use_packed:
         from ngs_barcode_count_tpu import checkpoint as ckpt
+        from ngs_barcode_count_tpu.io.parallel_ingest import (
+            read_fastq_packed_parallel,
+        )
 
         fp = ckpt.config_fingerprint(config) if checkpointing else ""
         last_ckpt = time.perf_counter()
-        for pb in native_mod.read_fastq_native_packed(
+        # checkpointing needs deterministic byte offsets: single reader
+        n_threads = 1 if (checkpointing or config.resume) else 0
+        for pb in read_fastq_packed_parallel(
             config.fastq,
             min_width=min_width,
             batch_reads=config.batch_size,
             with_quals=plan.min_quality > 0.0,
             start_offset=start_offset,
+            n_threads=n_threads,
         ):
             acc.step_packed(pb)
             total_reads += pb.n_reads
