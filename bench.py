@@ -135,6 +135,41 @@ def main():
     elapsed = time.perf_counter() - t0
     rps = total / elapsed
 
+    # Device-resident decode throughput: one batch staged on device, K
+    # repeated steps — isolates the TPU decode+count path from the
+    # host link (which on this sandbox rides a slow loopback relay).
+    import jax
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+
+    pb = next(iter(read_fastq_packed_parallel(
+        fastq, min_width=scheme.length, batch_reads=batch_size,
+    )))
+    d_packed = jax.device_put(pb.packed)
+    d_lengths = jax.device_put(pb.lengths)
+    d_exc_i = jax.device_put(pb.exc_idx)
+    d_exc_v = jax.device_put(pb.exc_val)
+    d_n = jax.device_put(np.array([pb.n_reads], np.int32))
+    acc2 = CountAccumulator(plan, conv)
+    state, counters = acc2.dense_state, acc2.dense_counters
+    state, counters = dec.dense_count_step_packed(
+        plan, state, counters, d_packed, d_lengths, d_exc_i, d_exc_v,
+        pb.width, d_n,
+    )
+    jax.block_until_ready(state)
+    K = 20
+    t0 = time.perf_counter()
+    for _ in range(K):
+        state, counters = dec.dense_count_step_packed(
+            plan, state, counters, d_packed, d_lengths, d_exc_i, d_exc_v,
+            pb.width, d_n,
+        )
+    jax.block_until_ready(state)
+    dev_elapsed = time.perf_counter() - t0
+    dev_rps = K * pb.n_reads / dev_elapsed
+
     matched = acc.seq_errors.matched
     print(
         json.dumps(
@@ -148,6 +183,10 @@ def main():
                     "elapsed_s": round(elapsed, 3),
                     "matched": matched,
                     "batch_size": batch_size,
+                    "device_resident_reads_per_s": round(dev_rps, 1),
+                    "device_resident_vs_baseline": round(
+                        dev_rps / BASELINE_READS_PER_S, 2
+                    ),
                 },
             }
         )

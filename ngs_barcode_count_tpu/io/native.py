@@ -297,8 +297,15 @@ def read_fastq_native_packed(
                 if not gz and not lib.fastq_has_pending(h)
                 else -1
             )
+            # ship only a power-of-two bucket of the exception buffer:
+            # typical FASTQs have ~0 exceptions and the full capacity
+            # would dominate wire traffic
+            bucket = 1024
+            while bucket < ne:
+                bucket *= 2
             yield PackedReads(
-                packed, lengths, exc_idx, exc_val, quals, int(n), width,
+                packed, lengths.astype(np.int16), exc_idx[:bucket],
+                exc_val[:bucket], quals, int(n), width,
                 next_offset=tell,
             )
     finally:

@@ -193,9 +193,14 @@ def _packed_range_iter(
             if n < -1:
                 width = -(-(-n) // 32) * 32
                 continue
-            exc_idx[nexc.value:] = -1
+            ne = nexc.value
+            exc_idx[ne:] = -1
+            bucket = 1024
+            while bucket < ne:
+                bucket *= 2
             yield PackedReads(
-                packed, lengths, exc_idx, exc_val, quals, int(n), width
+                packed, lengths.astype(np.int16), exc_idx[:bucket],
+                exc_val[:bucket], quals, int(n), width
             )
     finally:
         lib.fastq_close(h)

@@ -1,0 +1,295 @@
+"""Fused Pallas decode kernel: the whole per-read hot path in one VMEM
+pass.
+
+The XLA path (ops/decode.py) materializes a ``[B, 5, L]`` float one-hot
+in HBM for the offset-scan conv plus per-slot one-hots for the matcher —
+~2KB of HBM traffic per read.  This kernel keeps a tile of reads
+resident in VMEM end to end:
+
+  bases tile [TB, L] ──(c-major one-hot: 5 vector compares)──► [TB, 5L]
+    ──(ONE MXU matmul vs the precomputed scan matrix)──► per-offset
+        strict-const / wild-ACGT / relaxed-const match counts
+    ──(VPU leftmost-exact + repair argmin with tie-drop)──► offset
+    ──(one-hot offset select: O-step FMA loop)──► realigned format region
+    ──(per-slot MXU matmul vs candidate matrix, N fixup folded in)──►
+        mismatch counts ──(unique-argmin, budget, tie-drop)──► combo
+
+and writes two int32 vectors per read: flat count index and status.
+Semantics are bit-identical to ops/decode.py (same oracle parity suite).
+
+Covers the dense-count, quality-gate-off configuration (the flagship DEL
+path); other modes use the XLA path.  Selected via
+``NGS_DECODE_KERNEL=pallas`` or RunConfig.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ngs_barcode_count_tpu import dna
+from ngs_barcode_count_tpu.ops.decode import DecodePlan
+from ngs_barcode_count_tpu.scheme import KIND_CONST, KIND_WILD
+
+# status codes emitted per read
+ST_VALID = 0
+ST_CONST = 1
+ST_SAMPLE = 2
+ST_BARCODE = 3
+ST_PADDING = 4
+
+_BIG = np.int32(1 << 20)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _scan_matrix(plan: DecodePlan, L: int, O: int, O_pad: int) -> np.ndarray:
+    """[5L, 3*O_pad] f32 weight matrix.  Column layout (contiguous
+    groups): [0, O_pad) strict-const matches per offset, [O_pad, 2*O_pad)
+    wild-position ACGT hits, [2*O_pad, 3*O_pad) relaxed-const matches
+    (read 'N' wildcard, parse.rs:569).  Input rows are c-major: c*L+l."""
+    scheme = plan.scheme
+    F = scheme.length
+    W = np.zeros((5 * L, 3 * O_pad), dtype=np.float32)
+    for o in range(O):
+        for p in range(F):
+            k = scheme.kind[p]
+            l = o + p
+            if l >= L:
+                break
+            if k == KIND_CONST:
+                b = int(scheme.fmt_codes[p])
+                W[b * L + l, o] += 1.0
+                W[b * L + l, 2 * O_pad + o] += 1.0
+                W[dna.N * L + l, 2 * O_pad + o] += 1.0
+            elif k == KIND_WILD:
+                for b in range(4):
+                    W[b * L + l, O_pad + o] += 1.0
+    return W
+
+
+def _match_matrix(onehot: np.ndarray, n_mask: np.ndarray, sl: int):
+    """[5*sl, nc_pad] f32 candidate matrix.  Input rows (c-major):
+    c*sl+i = "read position i is base c" (a read-N sets all four base
+    rows); block 4*sl+i is the read-N indicator with weight -3 where the
+    candidate is N, cancelling the 4x N-vs-N double count."""
+    nc = onehot.shape[0]
+    nc_pad = _round_up(max(nc, 1), 128)
+    Wm = np.zeros((5 * sl, nc_pad), dtype=np.float32)
+    oh = onehot.reshape(nc, sl, 4)
+    for j in range(nc):
+        for i in range(sl):
+            for c in range(4):
+                if oh[j, i, c]:
+                    Wm[c * sl + i, j] = 1.0
+            if n_mask[j, i]:
+                Wm[4 * sl + i, j] = -3.0
+    return Wm, nc, nc_pad
+
+
+def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
+                        interpret: bool = False):
+    """Compile the fused kernel for width L.  Returns jitted
+    fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32)
+    -> (flat [B] int32, status [B] int32); B must be a multiple of TB."""
+    scheme = plan.scheme
+    F = scheme.length
+    if L < F:
+        raise ValueError("read width below format length")
+    if not (plan.dense_counts and plan.min_quality == 0.0):
+        raise ValueError("pallas path covers dense counts with quality off")
+    O = L - F + 1
+    O_pad = _round_up(O, 128)
+    n_const = int(np.sum(scheme.kind == KIND_CONST))
+    n_wild = int(np.sum(scheme.kind == KIND_WILD))
+    max_const = plan.max_errors.constant_region
+
+    W_scan = _scan_matrix(plan, L, O, O_pad)
+
+    slots = []
+    if scheme.sample_slot is not None:
+        Wm, nc, nc_pad = _match_matrix(
+            plan.sample_onehot, plan.sample_n_mask, scheme.sample_slot.length
+        )
+        slots.append(
+            ("sample", scheme.sample_slot, Wm, nc, nc_pad,
+             int(plan.max_errors.sample_barcode))
+        )
+    for i, slot in enumerate(scheme.barcode_slots):
+        Wm, nc, nc_pad = _match_matrix(
+            plan.counted_onehots[i], plan.counted_n_masks[i], slot.length
+        )
+        slots.append(
+            (f"bc{i}", slot, Wm, nc, nc_pad, int(plan.max_errors.barcode[i]))
+        )
+    radix = plan.combo_radix
+    n_combos = int(np.prod(radix)) if radix else 1
+    has_sample = scheme.sample_slot is not None
+
+    def kernel(n_reads_ref, lengths_ref, bases_ref, scan_w_ref, *refs):
+        slot_w_refs = refs[: len(slots)]
+        flat_ref, status_ref = refs[len(slots) :]
+
+        tile = pl.program_id(0)
+        basesf = bases_ref[...].astype(jnp.float32)  # [TB, L]
+        lengths = lengths_ref[...]  # [TB, 1] int32
+        row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+        is_read = row < n_reads_ref[0]  # [TB, 1]
+
+        # ---- offset scan: ONE matmul over the c-major one-hot ----
+        x1h = jnp.concatenate(
+            [(basesf == c).astype(jnp.float32) for c in range(5)], axis=1
+        )  # [TB, 5L]
+        scan = jnp.dot(
+            x1h, scan_w_ref[...], preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # [TB, 3*O_pad]
+        strict_o = scan[:, :O_pad]
+        wild_o = scan[:, O_pad : 2 * O_pad]
+        relax_o = scan[:, 2 * O_pad : 3 * O_pad]
+        o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
+        o_in_range = (o_idx + F <= lengths) & (o_idx < O)
+
+        exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
+        has_exact = jnp.any(exact, axis=1, keepdims=True)  # [TB, 1]
+        exact_off = jnp.argmax(exact, axis=1)[:, None].astype(jnp.int32)
+
+        # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295)
+        rep_range = (o_idx + F < lengths) & (o_idx < O)
+        mism = jnp.where(rep_range, n_const - relax_o, _BIG)
+        mism_min = jnp.min(mism, axis=1, keepdims=True)
+        rep_off = jnp.argmin(mism, axis=1)[:, None].astype(jnp.int32)
+        n_best = jnp.sum(
+            ((mism == mism_min) & rep_range).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+        wild_at_rep = jnp.sum(
+            jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
+        )
+        repair_ok = (
+            (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
+        )
+        len_ok = (lengths >= F) & is_read
+        const_ok = len_ok & (has_exact | repair_ok)  # [TB, 1]
+        offset = jnp.where(has_exact, exact_off, rep_off)  # [TB, 1]
+
+        # ---- realign the format region: R[b, p] = bases[b, offset+p] ----
+        sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
+        R = jnp.zeros((TB, F), jnp.float32)
+        for o in range(O):
+            R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
+
+        # ---- per-slot matching ----
+        status = jnp.where(
+            is_read, jnp.where(const_ok, ST_VALID, ST_CONST), ST_PADDING
+        )  # [TB, 1]
+        ok_so_far = const_ok
+        combo = jnp.zeros((TB, 1), jnp.int32)
+        sample_idx = jnp.zeros((TB, 1), jnp.int32)
+        bc_pos = 0
+        for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(slots):
+            sl = slot.length
+            r = R[:, slot.offset : slot.offset + sl]  # [TB, sl]
+            is_n = (r == dna.N).astype(jnp.float32)
+            blocks = [
+                jnp.maximum((r == c).astype(jnp.float32), is_n)
+                for c in range(4)
+            ]
+            blocks.append(is_n)
+            m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5*sl]
+            matches = jnp.dot(
+                m_in, slot_w_refs[s_i][...],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
+            m = jnp.where(cand_col < nc, sl - matches, _BIG)
+            m_min = jnp.min(m, axis=1, keepdims=True)
+            idx = jnp.argmin(m, axis=1)[:, None].astype(jnp.int32)
+            uniq = (
+                jnp.sum((m == m_min).astype(jnp.int32), axis=1, keepdims=True)
+                == 1
+            )
+            ok = (m_min <= budget) & uniq
+            code = ST_SAMPLE if name == "sample" else ST_BARCODE
+            status = jnp.where(ok_so_far & ~ok, code, status)
+            ok_so_far = ok_so_far & ok
+            if name == "sample":
+                sample_idx = idx
+            else:
+                combo = combo * radix[bc_pos] + idx
+                bc_pos += 1
+
+        flat = sample_idx * n_combos + combo if has_sample else combo
+        flat = jnp.where(ok_so_far, flat, 0)
+        flat_ref[...] = flat
+        status_ref[...] = status
+
+    consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in slots]
+
+    def fn(bases, lengths, n_reads):
+        B = bases.shape[0]
+        if B % TB:
+            raise ValueError(f"batch {B} not a multiple of tile {TB}")
+        grid = (B // TB,)
+        in_specs = [
+            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(W_scan.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [
+            pl.BlockSpec(Wm.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for (_, _, Wm, _, _, _) in slots
+        ]
+        flat, status = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(
+            n_reads.astype(jnp.int32),
+            lengths.astype(jnp.int32)[:, None],
+            bases,
+            *[jnp.asarray(w) for w in consts_np],
+        )
+        return flat[:, 0], status[:, 0]
+
+    return jax.jit(fn)
+
+
+def pallas_dense_count_step(plan: DecodePlan, decode_fn, counts, counters,
+                            bases, lengths, n_reads):
+    """Fold the kernel outputs into the carried count/counter state (the
+    scatter-add and status bincount run as plain XLA around the kernel)."""
+    from ngs_barcode_count_tpu import stats
+
+    flat, status = decode_fn(bases, lengths, n_reads)
+    valid = status == ST_VALID
+    counts = counts.at[jnp.where(valid, flat, 0)].add(
+        valid.astype(counts.dtype)
+    )
+    add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    add = add.at[stats.MATCHED].set(jnp.sum(valid))
+    add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
+    add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
+    add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+    return counts, counters + add

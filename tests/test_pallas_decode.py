@@ -1,0 +1,132 @@
+"""Fused Pallas decode kernel vs the XLA path: identical flat indices,
+status classification, and counters on randomized reads (interpret mode
+on CPU; the same suite runs compiled on TPU via NGS_TEST_TPU=1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ngs_barcode_count_tpu import stats
+from ngs_barcode_count_tpu.ops import decode as dec
+from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+from tests.test_decode_vs_oracle import (
+    build_plan,
+    encode_batch,
+    gen_reads,
+)
+
+
+def _strip_random(example_scheme):
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from tests.conftest import EXAMPLE_SCHEME
+
+    return parse_scheme_text(EXAMPLE_SCHEME.replace("(8)\n", ""))
+
+
+@pytest.fixture(scope="module")
+def dense_setup(request):
+    scheme = _strip_random(None)
+    plan, oracle, conv = build_plan(scheme)
+    assert plan.dense_counts
+    return scheme, plan, oracle, conv
+
+
+def _run_both(plan, reads, quals, TB=8):
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    pad = -(-B // TB) * TB - B
+    if pad:
+        bases = np.concatenate(
+            [bases, np.full((pad, L), 6, np.int8)]
+        )
+        quality = np.concatenate([quality, np.zeros((pad, L), np.int8)])
+        lengths = np.concatenate([lengths, np.zeros(pad, np.int32)])
+        mask = np.concatenate([mask, np.zeros(pad, bool)])
+    n_reads = np.array([B], np.int32)
+
+    fn = pdec.build_pallas_decode(plan, L, TB=TB, interpret=True)
+    flat_p, status_p = fn(bases, lengths, n_reads)
+
+    out = dec.keyed_decode_step(plan, bases, quality, lengths, mask)
+    valid_x = np.asarray(out["valid"])
+    flat_x = np.asarray(out["sample_idx"]) * plan.n_combos + np.asarray(
+        out["combo_flat"]
+    )
+    return (
+        np.asarray(flat_p),
+        np.asarray(status_p),
+        valid_x,
+        flat_x,
+        np.asarray(out["counters"]),
+        B,
+    )
+
+
+def test_pallas_matches_xla_random_reads(dense_setup, rng):
+    scheme, plan, oracle, conv = dense_setup
+    reads = gen_reads(rng, scheme, 96, err_range=(0, 12))
+    quals = ["I" * len(r) for r in reads]
+    flat_p, status_p, valid_x, flat_x, counters_x, B = _run_both(
+        plan, reads, quals
+    )
+    valid_p = status_p[:B] == pdec.ST_VALID
+    np.testing.assert_array_equal(valid_p, valid_x[:B])
+    np.testing.assert_array_equal(
+        flat_p[:B][valid_p], flat_x[:B][valid_p]
+    )
+    assert (status_p[:B] == pdec.ST_CONST).sum() == counters_x[
+        stats.CONSTANT_REGION
+    ]
+    assert (status_p[:B] == pdec.ST_SAMPLE).sum() == counters_x[
+        stats.SAMPLE_BARCODE
+    ]
+    assert (status_p[:B] == pdec.ST_BARCODE).sum() == counters_x[
+        stats.BARCODE
+    ]
+
+
+def test_pallas_matches_oracle(dense_setup, rng):
+    scheme, plan, oracle, conv = dense_setup
+    reads = gen_reads(rng, scheme, 64, err_range=(0, 10))
+    # add N noise
+    noisy = []
+    for r in reads:
+        r = list(r)
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, len(r)))] = "N"
+        noisy.append("".join(r))
+    quals = ["I" * len(r) for r in noisy]
+    flat_p, status_p, valid_x, flat_x, counters_x, B = _run_both(
+        plan, noisy, quals
+    )
+    for i, (r, q) in enumerate(zip(noisy, quals)):
+        o = oracle.decode(r, q)
+        assert (status_p[i] == pdec.ST_VALID) == (o.outcome == "matched"), (
+            i, r, o.outcome, status_p[i]
+        )
+
+
+def test_pallas_count_step(dense_setup, rng):
+    scheme, plan, oracle, conv = dense_setup
+    reads = gen_reads(rng, scheme, 64, err_range=(0, 8))
+    quals = ["I" * len(r) for r in reads]
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    n_reads = np.array([B], np.int32)
+    fn = pdec.build_pallas_decode(plan, L, TB=8, interpret=True)
+    counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+    counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    counts, counters = pdec.pallas_dense_count_step(
+        plan, fn, counts, counters, bases, lengths, n_reads
+    )
+    c2, ctr2 = dec.dense_count_step(
+        plan,
+        jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32),
+        jnp.zeros(stats.NUM_COUNTERS, jnp.int32),
+        bases, quality, lengths, mask,
+    )
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(c2))
+    np.testing.assert_array_equal(np.asarray(counters), np.asarray(ctr2))
