@@ -103,11 +103,28 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile-dir", default=None,
         help="Write a jax.profiler trace of the decode loop here",
     )
+    # multi-host (jax.distributed): run the same command on every host
+    p.add_argument(
+        "--num-hosts", type=int, default=1,
+        help="Total number of hosts in the distributed run",
+    )
+    p.add_argument(
+        "--host-id", type=int, default=0,
+        help="This host's process index (0..num-hosts-1)",
+    )
+    p.add_argument(
+        "--coordinator", default=None,
+        help="host:port of process 0 for jax.distributed.initialize",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    if args.num_hosts > 1:
+        from ngs_barcode_count_tpu.parallel import distributed as dist
+
+        dist.initialize(args.coordinator, args.num_hosts, args.host_id)
     config = RunConfig(
         fastq=args.fastq,
         format=args.format,

@@ -466,6 +466,40 @@ def run(config: RunConfig) -> RunResult:
 
     import jax
 
+    if jax.process_count() > 1:
+        if not plan.dense_counts:
+            raise NotImplementedError(
+                "multi-host runs currently support dense-count mode"
+            )
+        from ngs_barcode_count_tpu.parallel import multihost
+
+        t0 = time.perf_counter()
+        counts_np, counters_np, local_reads = multihost.run_multihost_dense(
+            config, plan, scheme
+        )
+        compute_s = time.perf_counter() - t0
+        acc = CountAccumulator(plan, conv)
+        acc.dense_state = counts_np
+        acc.dense_counters = None
+        acc.seq_errors.add_vector(counters_np)
+        from jax.experimental import multihost_utils as _mh
+
+        total_reads = int(
+            np.sum(_mh.process_allgather(np.array([local_reads])))
+        )
+        if jax.process_index() != 0:
+            # only host 0 writes outputs
+            return RunResult(
+                scheme=scheme, conversions=conv, max_errors=max_errors,
+                seq_errors=acc.seq_errors, total_reads=total_reads,
+                results=ResultsView({}), compute_seconds=compute_s,
+                reads_per_second=total_reads / max(compute_s, 1e-9),
+            )
+        return _write_outputs(
+            config, scheme, conv, max_errors, acc, total_reads, enrich,
+            start_time, compute_s,
+        )
+
     n_devices = config.n_devices or 1
     if n_devices > len(jax.devices()):
         raise ValueError(
@@ -489,6 +523,16 @@ def run(config: RunConfig) -> RunResult:
     compute_s = time.perf_counter() - t0
     print(f"Total sequences:             {total_reads:,}")
 
+    return _write_outputs(
+        config, scheme, conv, max_errors, acc, total_reads, enrich,
+        start_time, compute_s,
+    )
+
+
+def _write_outputs(
+    config, scheme, conv, max_errors, acc, total_reads, enrich, start_time,
+    compute_s,
+):
     print(f"{acc.seq_errors.display()}\n")
     elapsed = _dt.datetime.now() - start_time
     from ngs_barcode_count_tpu.output import elapsed_display
