@@ -452,6 +452,22 @@ def keyed_decode_step(plan: DecodePlan, bases, quals, lengths, read_mask):
     return decode_batch(plan, bases, quals, lengths, read_mask)
 
 
+def pack_slot_words(codes: jnp.ndarray) -> jnp.ndarray:
+    """[B, sl] int8 base codes -> [B, ceil(sl/10)] int32: 3 bits per base,
+    10 bases per 30-bit word.  The host combines words j as
+    ``sum(w_j << 30*j)``, which reproduces counting.pack_codes' 3-bit
+    layout exactly, so results_view needs no changes."""
+    B, sl = codes.shape
+    n_words = -(-sl // 10)
+    pad = n_words * 10 - sl
+    c = codes.astype(jnp.int32)
+    if pad:
+        c = jnp.concatenate([c, jnp.zeros((B, pad), jnp.int32)], axis=1)
+    c = c.reshape(B, n_words, 10)
+    shifts = (3 * jnp.arange(10, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(c << shifts, axis=2).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # Wire-format (2-bit packed) entry points
 # ---------------------------------------------------------------------------
@@ -508,3 +524,55 @@ def dense_count_step_packed_q(
     return dense_count_step.__wrapped__(
         plan, counts, counters, bases, quals, lengths, read_mask
     )
+
+
+def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
+    """Compress keyed-mode per-read outputs to the minimum wire bytes:
+    valid mask, counter vector, and 3-bit-packed slot words (or dense
+    indices) instead of raw code arrays."""
+    compact = {"valid": out["valid"], "counters": out["counters"]}
+    if "sample_codes" in out:
+        compact["sample_words"] = pack_slot_words(out["sample_codes"])
+    else:
+        compact["sample_idx"] = out["sample_idx"]
+    if "combo_flat" in out:
+        compact["combo_flat"] = out["combo_flat"]
+    else:
+        compact["counted_words"] = [
+            pack_slot_words(c) for c in out["counted_codes"]
+        ]
+    if "random_codes" in out:
+        compact["random_words"] = pack_slot_words(out["random_codes"])
+    return compact
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def keyed_decode_step_packed(
+    plan: DecodePlan, packed, lengths, exc_idx, exc_val, width: int, n_reads
+):
+    """Keyed-mode step on wire-format input, quality gate off."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    quals = jnp.zeros((B, 1), jnp.int8)
+    out = decode_batch(plan, bases, quals, lengths, read_mask)
+    return _keyed_packed_outputs(plan, out)
+
+
+@partial(jax.jit, static_argnums=(0, 6))
+def keyed_decode_step_packed_q(
+    plan: DecodePlan, packed, lengths, exc_idx, exc_val, quals, width: int,
+    n_reads,
+):
+    """Keyed-mode wire-format step with the quality gate on."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    out = decode_batch(plan, bases, quals, lengths, read_mask)
+    return _keyed_packed_outputs(plan, out)

@@ -173,11 +173,59 @@ class CountAccumulator:
         out = dec.keyed_decode_step(
             plan, batch.bases, batch.quals, batch.lengths, batch.read_mask
         )
+        key_cols = self._key_columns(out)
+        rnd = (
+            pack_codes(np.asarray(out["random_codes"]))
+            if "random_codes" in out
+            else None
+        )
+        self._accumulate_keyed(out, key_cols, rnd)
+
+    @staticmethod
+    def _combine_words(words: np.ndarray) -> np.ndarray:
+        """[B, n_words] int32 (30 bits each) -> [B] uint64, matching
+        counting.pack_codes' 3-bit layout."""
+        words = np.asarray(words).astype(np.uint64)
+        out = np.zeros(words.shape[0], np.uint64)
+        for j in range(words.shape[1]):
+            out |= words[:, j] << np.uint64(30 * j)
+        return out
+
+    def step_packed_keyed(self, pb) -> None:
+        """Wire-format keyed step: packed bases up, 3-bit slot words down."""
+        plan = self.plan
+        n = np.array([pb.n_reads], np.int32)
+        if pb.quals is not None:
+            out = dec.keyed_decode_step_packed_q(
+                plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                pb.quals, pb.width, n,
+            )
+        else:
+            out = dec.keyed_decode_step_packed(
+                plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                pb.width, n,
+            )
+        cols: list[np.ndarray] = []
+        if "sample_words" in out:
+            cols.append(self._combine_words(out["sample_words"]))
+        else:
+            cols.append(np.asarray(out["sample_idx"]).astype(np.uint64))
+        if "combo_flat" in out:
+            cols.append(np.asarray(out["combo_flat"]).astype(np.uint64))
+        else:
+            for w in out["counted_words"]:
+                cols.append(self._combine_words(w))
+        rnd = (
+            self._combine_words(out["random_words"])
+            if "random_words" in out
+            else None
+        )
+        self._accumulate_keyed(out, cols, rnd)
+
+    def _accumulate_keyed(self, out, key_cols, rnd) -> None:
         self.seq_errors.add_vector(np.asarray(out["counters"]))
         valid = np.asarray(out["valid"])
-        key_cols = self._key_columns(out)
-        if self.dedup is not None:
-            rnd = pack_codes(np.asarray(out["random_codes"]))
+        if self.dedup is not None and rnd is not None:
             new_mask = self.dedup.observe(key_cols + [rnd], valid)
             n_valid = int(valid.sum())
             n_new = int(new_mask.sum())
@@ -358,11 +406,22 @@ def decode_file(
     min_width = scheme.length
     total_reads = 0
     n_batches = 0
-    use_packed = (
-        plan.dense_counts
-        and acc.engine is None
+    native_ok = (
+        acc.engine is None
         and native_mod.available()
         and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
+    )
+    use_packed = plan.dense_counts and native_ok
+    # keyed wire path: 3-bit slot words fit a uint64 key only up to 21nt
+    scheme_slots = [s.length for s in scheme.barcode_slots]
+    if scheme.sample_slot is not None:
+        scheme_slots.append(scheme.sample_slot.length)
+    if scheme.random_slot is not None:
+        scheme_slots.append(scheme.random_slot.length)
+    use_packed_keyed = (
+        not plan.dense_counts
+        and native_ok
+        and max(scheme_slots) <= 21
     )
     checkpointing = config.checkpoint_interval_s > 0 and use_packed
     start_offset = 0
@@ -414,6 +473,26 @@ def decode_file(
                     total_reads, fp,
                 )
                 last_ckpt = time.perf_counter()
+            if limit_batches and n_batches >= limit_batches:
+                break
+            if config.progress:
+                print(
+                    f"Total sequences:             {total_reads:,}\r", end=""
+                )
+    elif use_packed_keyed:
+        from ngs_barcode_count_tpu.io.parallel_ingest import (
+            read_fastq_packed_parallel,
+        )
+
+        for pb in read_fastq_packed_parallel(
+            config.fastq,
+            min_width=min_width,
+            batch_reads=config.batch_size,
+            with_quals=plan.min_quality > 0.0,
+        ):
+            acc.step_packed_keyed(pb)
+            total_reads += pb.n_reads
+            n_batches += 1
             if limit_batches and n_batches >= limit_batches:
                 break
             if config.progress:
