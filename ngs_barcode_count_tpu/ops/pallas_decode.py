@@ -156,13 +156,17 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
 
         exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
         has_exact = jnp.any(exact, axis=1, keepdims=True)  # [TB, 1]
-        exact_off = jnp.argmax(exact, axis=1)[:, None].astype(jnp.int32)
+        exact_off = jnp.argmax(exact.astype(jnp.float32), axis=1)[
+            :, None
+        ].astype(jnp.int32)
 
         # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295)
         rep_range = (o_idx + F < lengths) & (o_idx < O)
         mism = jnp.where(rep_range, n_const - relax_o, _BIG)
         mism_min = jnp.min(mism, axis=1, keepdims=True)
-        rep_off = jnp.argmin(mism, axis=1)[:, None].astype(jnp.int32)
+        rep_off = jnp.argmin(mism.astype(jnp.float32), axis=1)[
+            :, None
+        ].astype(jnp.int32)
         n_best = jnp.sum(
             ((mism == mism_min) & rep_range).astype(jnp.int32),
             axis=1, keepdims=True,
@@ -208,7 +212,9 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
             m = jnp.where(cand_col < nc, sl - matches, _BIG)
             m_min = jnp.min(m, axis=1, keepdims=True)
-            idx = jnp.argmin(m, axis=1)[:, None].astype(jnp.int32)
+            idx = jnp.argmin(m.astype(jnp.float32), axis=1)[
+                :, None
+            ].astype(jnp.int32)
             uniq = (
                 jnp.sum((m == m_min).astype(jnp.int32), axis=1, keepdims=True)
                 == 1
@@ -274,6 +280,38 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         return flat[:, 0], status[:, 0]
 
     return jax.jit(fn)
+
+
+def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
+    """Wire-format dense step with the fused kernel inside: one jit doing
+    2-bit unpack + exception scatter -> Pallas decode -> count scatter.
+    Drop-in replacement for ops.decode.dense_count_step_packed (measured
+    ~5x its throughput device-resident on v5e)."""
+    import functools
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+    decode_fn = build_pallas_decode(plan, width, TB=TB)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(counts, counters, packed, lengths, exc_idx, exc_val, n_reads):
+        bases = unpack_bases(packed, exc_idx, exc_val, width)
+        flat, status = decode_fn(
+            bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
+        )
+        valid = status == ST_VALID
+        counts = counts.at[jnp.where(valid, flat, 0)].add(
+            valid.astype(counts.dtype)
+        )
+        add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        add = add.at[stats.MATCHED].set(jnp.sum(valid))
+        add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
+        add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
+        add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+        return counts, counters + add
+
+    return step
 
 
 def pallas_dense_count_step(plan: DecodePlan, decode_fn, counts, counters,
