@@ -152,21 +152,33 @@ def main():
     d_exc_i = jax.device_put(pb.exc_idx)
     d_exc_v = jax.device_put(pb.exc_val)
     d_n = jax.device_put(np.array([pb.n_reads], np.int32))
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu and os.environ.get("NGS_DECODE_KERNEL", "pallas") == "pallas":
+        from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+        pstep = pdec.build_pallas_packed_step(plan, pb.width)
+
+        def dev_step(state, counters):
+            return pstep(state, counters, d_packed, d_lengths, d_exc_i,
+                         d_exc_v, d_n)
+    else:
+        def dev_step(state, counters):
+            return dec.dense_count_step_packed(
+                plan, state, counters, d_packed, d_lengths, d_exc_i,
+                d_exc_v, pb.width, d_n,
+            )
+
     acc2 = CountAccumulator(plan, conv)
-    state, counters = acc2.dense_state, acc2.dense_counters
-    state, counters = dec.dense_count_step_packed(
-        plan, state, counters, d_packed, d_lengths, d_exc_i, d_exc_v,
-        pb.width, d_n,
-    )
-    jax.block_until_ready(state)
+    state, counters = dev_step(acc2.dense_state, acc2.dense_counters)
+    np.asarray(counters)  # real sync (block_until_ready can lie via relay)
+    acc3 = CountAccumulator(plan, conv)
+    state, counters = acc3.dense_state, acc3.dense_counters
     K = 20
     t0 = time.perf_counter()
     for _ in range(K):
-        state, counters = dec.dense_count_step_packed(
-            plan, state, counters, d_packed, d_lengths, d_exc_i, d_exc_v,
-            pb.width, d_n,
-        )
-    jax.block_until_ready(state)
+        state, counters = dev_step(state, counters)
+    np.asarray(counters)
     dev_elapsed = time.perf_counter() - t0
     dev_rps = K * pb.n_reads / dev_elapsed
 

@@ -262,3 +262,33 @@ def test_csv_content_parity_with_oracle(tmp_path, rng):
     golden = "Barcode_1,Barcode_2,Barcode_3,Count\n" + "\n".join(rows) + "\n"
     written = (tmp_path / "test_Sample_name_1_counts.csv").read_text()
     assert written == golden
+
+
+def test_random_plus_quality_e2e(tmp_path, rng):
+    """Random dedup + quality gate together (keyed wire path with Phred
+    lanes shipped)."""
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    reads, quals = [], []
+    randoms = ["ACGTACGT", "TTTTCCCC"]
+    for _ in range(400):
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 3)] for s in [BC1, BC2, BC3]]
+        r = simulate.make_read(
+            rng, scheme, sample, counted,
+            random_barcode=randoms[rng.integers(0, 2)],
+            flank_left=2, flank_right=3,
+            n_errors=int(rng.integers(0, 4)),
+        )
+        reads.append(r)
+        q = rng.integers(25, 41, len(r)) + 33
+        quals.append("".join(chr(int(x)) for x in q))
+    fq = tmp_path / "rq.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths,
+                     min_average_quality_score=30.0)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert tallies["low_quality"] > 0 and tallies["duplicates"] > 0
+    assert_counts_equal(result, exp, tallies)

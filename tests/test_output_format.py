@@ -1,0 +1,133 @@
+"""Writer format goldens: stats file layout (output.rs:511-574), header
+rules (output.rs:184-196), merged demotion, enrichment marginals."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu.enrich import double_keys, single_keys
+from ngs_barcode_count_tpu.errors import MaxSeqErrors
+from ngs_barcode_count_tpu.output import (
+    ResultsView,
+    WriteFiles,
+    WriterConfig,
+    convert_code,
+    elapsed_display,
+    millisecond_decimal,
+)
+from ngs_barcode_count_tpu.scheme import parse_scheme_text
+from ngs_barcode_count_tpu.stats import SequenceErrors
+
+
+def _writer(tmp_path, scheme, per_sample, samples_hash=None, counted=None,
+            **cfg):
+    config = WriterConfig(
+        fastq="/data/reads.fastq",
+        format="/data/scheme.txt",
+        sample_barcodes_option=None,
+        counted_barcodes_option=None,
+        output_dir=str(tmp_path),
+        prefix="G",
+        merge_output=cfg.get("merge_output", False),
+        enrich=cfg.get("enrich", False),
+    )
+    return WriteFiles(
+        ResultsView(per_sample), scheme, counted or [], samples_hash or {},
+        config,
+    )
+
+
+def test_single_barcode_header(tmp_path):
+    scheme = parse_scheme_text("ACGT\n{4}\nTTAA\n")
+    w = _writer(tmp_path, scheme, {"barcode": {"AAAA": 3}})
+    w.write_counts_files()
+    text = (tmp_path / "G_barcode_counts.csv").read_text()
+    assert text == "Barcode,Count\nAAAA,3\n"
+
+
+def test_merge_demoted_single_sample(tmp_path, capsys):
+    scheme = parse_scheme_text("ACGT\n{4}\nTTAA\n")
+    w = _writer(tmp_path, scheme, {"barcode": {"AAAA": 3}}, merge_output=True)
+    w.write_counts_files()
+    captured = capsys.readouterr()
+    assert "Merged file cannot be created" in captured.err
+    assert not (tmp_path / "G_counts.all.csv").exists()
+
+
+def test_enrich_marginal_keys():
+    assert single_keys("A,B,C") == ["A,,", ",B,", ",,C"]
+    assert double_keys("A,B,C") == ["A,B,", "A,,C", ",B,C"]
+    assert single_keys("X,Y") == ["X,", ",Y"]
+    assert double_keys("X,Y") == ["X,Y"]
+
+
+def test_convert_code_roundtrip():
+    maps = [{"AAAA": "id1"}, {"CCCC": "id2"}]
+    assert convert_code("AAAA,CCCC", maps) == "id1,id2"
+    with pytest.raises(KeyError):
+        convert_code("GGGG,CCCC", maps)
+
+
+def test_millisecond_decimal():
+    assert millisecond_decimal(dt.timedelta(seconds=1, milliseconds=42)) == "042"
+    assert millisecond_decimal(dt.timedelta(milliseconds=7)) == "007"
+    assert millisecond_decimal(dt.timedelta(seconds=2, milliseconds=311)) == "311"
+
+
+def test_stats_file_golden(tmp_path):
+    scheme = parse_scheme_text("[4]\nACGT\n{4}\nTTAA\n")
+    me = MaxSeqErrors.create(None, 4, None, [4], None, 8, 0.0)
+    errs = SequenceErrors()
+    errs.correct_match(1234567)
+    errs.constant_region_error(89)
+    w = _writer(
+        tmp_path, scheme,
+        {"AAAA": {"CCCC": 5}},
+        samples_hash={"AAAA": "S1"},
+        counted=[{"CCCC": "B1"}],
+    )
+    w.write_counts_files()
+    start = dt.datetime(2026, 8, 17, 10, 0, 0)
+    now = dt.datetime(2026, 8, 17, 11, 2, 3, 456000)
+    w.write_stats_file(start, me, errs, 2_000_000, scheme, now=now)
+    text = (tmp_path / "G_barcode_stats.txt").read_text()
+    assert text == (
+        "-TIME INFORMATION-\n"
+        "Start: 2026-08-17 10:00:00\n"
+        "Finish: 2026-08-17 11:02:03\n"
+        "Total time: 1 hours, 2 minutes, 3.456 seconds\n\n"
+        "-INPUT FILES-\n"
+        "Fastq: /data/reads.fastq\n"
+        "Format: /data/scheme.txt\n"
+        "Samples: None\n"
+        "Barcodes: None\n\n"
+        "-FORMAT-\n"
+        "NNNNACGTNNNNTTAA\n"
+        "SSSSCCCCBBBBCCCC\n"
+        "S: Sample barcode\n"
+        "C: Constant region\n"
+        "B: Counted barcode\n\n"
+        "-BARCODE INFO-\n"
+        "Constant region size: 8\n"
+        "Maximum mismatches allowed per sequence: 1\n"
+        "--------------------------------------------------------------\n"
+        "Sample barcode size: 4\n"
+        "Maximum mismatches allowed per sequence: 0\n"
+        "--------------------------------------------------------------\n"
+        "Barcode size: 4\n"
+        "Maximum mismatches allowed per barcode sequence: 0\n"
+        "--------------------------------------------------------------\n"
+        "Minimum allowed average read quality score per barcode: 0\n\n"
+        "-RESULTS-\n"
+        "Total sequences:             2,000,000\n"
+        "Correctly matched sequences: 1,234,567\n"
+        "Constant region mismatches:  89\n"
+        "Sample barcode mismatches:   0\n"
+        "Counted barcode mismatches:  0\n"
+        "Duplicates:                  0\n"
+        "Low quality barcodes:        0\n\n"
+        "-OUTPUT FILES-\n"
+        "File & barcodes counted: G_S1_counts.csv\t1\n"
+        "\n" + "-" * 98 + "\n\n\n"
+    )
