@@ -282,11 +282,22 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     return jax.jit(fn)
 
 
+_PACKED_STEP_CACHE: dict = {}
+
+
 def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
     """Wire-format dense step with the fused kernel inside: one jit doing
     2-bit unpack + exception scatter -> Pallas decode -> count scatter.
     Drop-in replacement for ops.decode.dense_count_step_packed (measured
-    ~5x its throughput device-resident on v5e)."""
+    ~5x its throughput device-resident on v5e).
+
+    Cached per (plan, width, TB): Mosaic kernels compile synchronously
+    (tens of seconds through a remote-compile service), so every consumer
+    in a process must share one compiled instance.
+    """
+    key = (id(plan), width, TB)
+    if key in _PACKED_STEP_CACHE:
+        return _PACKED_STEP_CACHE[key]
     import functools
 
     from ngs_barcode_count_tpu import stats
@@ -311,6 +322,7 @@ def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
         add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
         return counts, counters + add
 
+    _PACKED_STEP_CACHE[key] = step
     return step
 
 
