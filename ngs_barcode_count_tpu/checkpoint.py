@@ -61,7 +61,9 @@ def save(path: str, acc, byte_offset: int, total_reads: int,
         blob = {
             "counts": acc.keyed.counts,
             "host_counters": acc.seq_errors.counters,
-            "dedup_keys": acc.dedup._keys if acc.dedup is not None else None,
+            "dedup_keys": (
+                acc.dedup.export_keys() if acc.dedup is not None else None
+            ),
         }
         state["keyed_pickle"] = np.frombuffer(
             pickle.dumps(blob), dtype=np.uint8
@@ -93,5 +95,5 @@ def load(path: str, acc, fingerprint: str) -> tuple[int, int]:
             acc.keyed.counts = blob["counts"]
             acc.seq_errors.counters = blob["host_counters"]
             if acc.dedup is not None and blob["dedup_keys"] is not None:
-                acc.dedup._keys = blob["dedup_keys"]
+                acc.dedup.import_keys(blob["dedup_keys"])
     return byte_offset, total_reads

@@ -91,17 +91,66 @@ class KeyedCounts:
 
 
 class RandomDedup:
-    """Sorted-unique uint64-tuple store for PCR-duplicate collapse.
+    """128-bit-key store for PCR-duplicate collapse.
 
-    ``observe`` returns the number of NEW (sample, combo, random) triples
-    in the batch; duplicates = batch size - new.  Memory is one uint64 row
-    per unique triple (128-bit key packed into two columns), merged
-    incrementally — the multi-host story is a gather of these arrays (or
-    a bitmap union) at flush (SURVEY.md section 5, C15).
+    ``observe`` returns a mask of NEW (sample, combo, random) triples in
+    the batch; duplicates = valid - new.  Backed by the native C++
+    open-addressing hash set (io/_native/dedup_store.cpp, ~100M
+    lookups/s) with a sorted-array NumPy fallback.  The multi-host story
+    is an export/union of the key arrays at flush (SURVEY.md §5, C15).
     """
 
     def __init__(self) -> None:
         self._keys = np.zeros((0, 2), dtype=np.uint64)
+        self._native = None
+        try:
+            from ngs_barcode_count_tpu.io import native
+
+            lib = native.get_lib()
+            if lib is not None:
+                self._native = (lib, lib.dedup_create(1 << 16))
+        except Exception:
+            self._native = None
+
+    def __del__(self):
+        if self._native is not None:
+            lib, h = self._native
+            try:
+                lib.dedup_free(h)
+            except Exception:
+                pass
+
+    def export_keys(self) -> np.ndarray:
+        """All stored keys as [n, 2] uint64 (checkpoint/merge)."""
+        if self._native is None:
+            return self._keys.copy()
+        lib, h = self._native
+        n = int(lib.dedup_size(h))
+        a = np.empty(n, np.uint64)
+        b = np.empty(n, np.uint64)
+        import ctypes
+
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        lib.dedup_export(h, a.ctypes.data_as(U64P), b.ctypes.data_as(U64P))
+        return np.stack([a, b], axis=1)
+
+    def import_keys(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        if self._native is None:
+            self._keys = keys.copy()
+            order = np.lexsort((self._keys[:, 1], self._keys[:, 0]))
+            self._keys = self._keys[order]
+            return
+        import ctypes
+
+        lib, h = self._native
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        a = np.ascontiguousarray(keys[:, 0])
+        b = np.ascontiguousarray(keys[:, 1])
+        lib.dedup_import(
+            h, a.ctypes.data_as(U64P), b.ctypes.data_as(U64P), len(keys)
+        )
 
     @staticmethod
     def _compose(cols: list[np.ndarray]) -> np.ndarray:
@@ -124,6 +173,22 @@ class RandomDedup:
         if not mask.any():
             return new_mask
         comp = self._compose([np.asarray(c)[mask] for c in key_cols])
+        if self._native is not None:
+            import ctypes
+
+            lib, h = self._native
+            U64P = ctypes.POINTER(ctypes.c_uint64)
+            a = np.ascontiguousarray(comp[:, 0])
+            b = np.ascontiguousarray(comp[:, 1])
+            nm = np.zeros(len(comp), np.uint8)
+            lib.dedup_observe(
+                h, a.ctypes.data_as(U64P), b.ctypes.data_as(U64P),
+                len(comp), nm.ctypes.data_as(
+                    ctypes.POINTER(ctypes.c_uint8)
+                ),
+            )
+            new_mask[np.flatnonzero(mask)] = nm.astype(bool)
+            return new_mask
         # view as void for row-wise unique/searchsorted
         order = np.lexsort((comp[:, 1], comp[:, 0]))
         comp_sorted = comp[order]

@@ -19,6 +19,7 @@ from ngs_barcode_count_tpu.io.fastq import EncodedReads, FastqFormatError
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "_native", "fastq_codec.cpp")
+_SRC2 = os.path.join(_DIR, "_native", "dedup_store.cpp")
 _SO = os.path.join(_DIR, "_native", "fastq_codec.so")
 
 _lock = threading.Lock()
@@ -51,7 +52,7 @@ class PackedReads:
 def _build() -> bool:
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-lz", "-o", _SO + ".tmp",
+        _SRC, _SRC2, "-lz", "-o", _SO + ".tmp",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=180)
@@ -69,8 +70,8 @@ def get_lib():
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(
-            _SRC
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < max(
+            os.path.getmtime(_SRC), os.path.getmtime(_SRC2)
         ):
             if not _build():
                 _build_failed = True
@@ -114,6 +115,21 @@ def get_lib():
         lib.fastq_open_range.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64,
             ctypes.c_uint64,
+        ]
+        U64P = ctypes.POINTER(ctypes.c_uint64)
+        lib.dedup_create.restype = ctypes.c_void_p
+        lib.dedup_create.argtypes = [ctypes.c_uint64]
+        lib.dedup_free.argtypes = [ctypes.c_void_p]
+        lib.dedup_size.restype = ctypes.c_uint64
+        lib.dedup_size.argtypes = [ctypes.c_void_p]
+        lib.dedup_observe.restype = ctypes.c_uint64
+        lib.dedup_observe.argtypes = [
+            ctypes.c_void_p, U64P, U64P, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.dedup_export.argtypes = [ctypes.c_void_p, U64P, U64P]
+        lib.dedup_import.argtypes = [
+            ctypes.c_void_p, U64P, U64P, ctypes.c_int64,
         ]
         _lib = lib
         return _lib
