@@ -154,7 +154,11 @@ def main():
     d_n = jax.device_put(np.array([pb.n_reads], np.int32))
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu and os.environ.get("NGS_DECODE_KERNEL", "pallas") == "pallas":
+    # device-resident metric always measures the fused Pallas kernel on
+    # TPU: it is the hardware-relevant decode ceiling (the e2e number
+    # above uses the default path, which on relay-attached sandboxes is
+    # the XLA kernel - see runner._pallas_step_for)
+    if on_tpu:
         from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
         pstep = pdec.build_pallas_packed_step(plan, pb.width)
