@@ -17,7 +17,7 @@ from __future__ import annotations
 import datetime as _dt
 import os
 import sys
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from ngs_barcode_count_tpu.enrich import ResultsEnrichment
 from ngs_barcode_count_tpu.errors import MaxSeqErrors

@@ -18,7 +18,6 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ngs_barcode_count_tpu.parallel import distributed as dist
@@ -61,7 +60,6 @@ def run_multihost_dense(config, plan, scheme, n_model: int = 1):
         raise ValueError("batch size must divide evenly across hosts")
     local_rows = config.batch_size // n_hosts
 
-    from ngs_barcode_count_tpu.io import fastq as fastq_mod
     from ngs_barcode_count_tpu.io import batcher as batcher_mod
 
     sh2 = NamedSharding(mesh, P("data", None))

@@ -7,15 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ngs_barcode_count_tpu import dna
-from ngs_barcode_count_tpu.scheme import (
-    KIND_BARCODE,
-    KIND_CONST,
-    KIND_RANDOM,
-    KIND_SAMPLE,
-    KIND_WILD,
-    SequenceScheme,
-)
+from ngs_barcode_count_tpu.scheme import KIND_WILD, SequenceScheme
 
 _BASE_ASCII = np.frombuffer(b"ACGT", dtype=np.uint8)
 
