@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="Resume from the run's checkpoint file",
     )
     p.add_argument(
+        "--fix-quirks", action="store_true",
+        help="Use corrected semantics instead of bug-for-bug reference "
+        "parity: the repair scan tries the final window, every barcode "
+        "region is quality-checked (including a trailing one), and "
+        "repaired reads read quality from the matched window",
+    )
+    p.add_argument(
         "--profile-dir", default=None,
         help="Write a jax.profiler trace of the decode loop here",
     )
@@ -125,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
         from ngs_barcode_count_tpu.parallel import distributed as dist
 
         dist.initialize(args.coordinator, args.num_hosts, args.host_id)
+    import sys as _sys
+
     config = RunConfig(
         fastq=args.fastq,
         format=args.format,
@@ -144,8 +153,16 @@ def main(argv: list[str] | None = None) -> int:
         checkpoint_interval_s=args.checkpoint_interval,
         resume=args.resume,
         profile_dir=args.profile_dir,
+        fix_quirks=args.fix_quirks,
     )
-    run(config)
+    try:
+        run(config)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"Error: {e}", file=_sys.stderr)
+        return 1
+    except KeyboardInterrupt:
+        print("Interrupted", file=_sys.stderr)
+        return 130
     return 0
 
 

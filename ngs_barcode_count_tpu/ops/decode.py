@@ -84,6 +84,45 @@ def quality_segments(regions_string: str) -> list[QualitySegment]:
     return segs
 
 
+def quality_segments_fixed(scheme: SequenceScheme) -> list[QualitySegment]:
+    """--fix-quirks variant: every barcode region (sample/counted/random)
+    gets a check, including a trailing one, and segment offsets are true
+    FORMAT positions, so quality stays aligned even when the scheme has
+    explicit-N runs (which the reference's regions_string drops,
+    info.rs:287-295)."""
+    from ngs_barcode_count_tpu.scheme import (
+        KIND_BARCODE,
+        KIND_RANDOM,
+        KIND_SAMPLE,
+    )
+
+    segs: list[QualitySegment] = []
+    kinds = scheme.kind
+    i = 0
+    n = len(kinds)
+    while i < n:
+        j = i
+        while j < n and kinds[j] == kinds[i]:
+            j += 1
+        if kinds[i] in (KIND_SAMPLE, KIND_BARCODE, KIND_RANDOM):
+            segs.append(QualitySegment(start=i, length=j - i))
+        i = j
+    # consecutive counted barcodes share a kind but are distinct regions:
+    # split on slot boundaries
+    out: list[QualitySegment] = []
+    boundaries = sorted(
+        {s.offset for s in scheme.barcode_slots}
+        | {s.offset + s.length for s in scheme.barcode_slots}
+    )
+    for seg in segs:
+        cuts = [seg.start] + [
+            b for b in boundaries if seg.start < b < seg.start + seg.length
+        ] + [seg.start + seg.length]
+        for a, b in zip(cuts, cuts[1:]):
+            out.append(QualitySegment(start=a, length=b - a))
+    return out
+
+
 @dataclass(frozen=True, eq=False)  # identity hash: used as a jit static arg
 class DecodePlan:
     """Static decode configuration compiled from scheme + conversions.
@@ -101,6 +140,7 @@ class DecodePlan:
     counted_n_masks: tuple[np.ndarray, ...] | None
     qual_segments: tuple[QualitySegment, ...]
     min_quality: float
+    fix_quirks: bool = False
 
     @property
     def dense_sample(self) -> bool:
@@ -144,6 +184,7 @@ def make_plan(
     scheme: SequenceScheme,
     conversions: BarcodeConversions,
     max_errors: MaxSeqErrors,
+    fix_quirks: bool = False,
 ) -> DecodePlan:
     sample_oh = sample_nm = None
     if conversions.sample_set is not None and conversions.sample_set.count:
@@ -160,8 +201,13 @@ def make_plan(
         sample_n_mask=sample_nm,
         counted_onehots=counted_oh,
         counted_n_masks=counted_nm,
-        qual_segments=tuple(quality_segments(scheme.regions_string)),
+        qual_segments=tuple(
+            quality_segments_fixed(scheme)
+            if fix_quirks
+            else quality_segments(scheme.regions_string)
+        ),
         min_quality=max_errors.min_quality,
+        fix_quirks=fix_quirks,
     )
 
 
@@ -231,8 +277,12 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     exact_off = jnp.argmax(exact, axis=1).astype(jnp.int32)  # leftmost True
 
     # Repair windows: the reference iterates 0..(len - F) EXCLUSIVE
-    # (parse.rs:295), so the final alignment is never tried.
-    rep_in_range = offs + F < lengths
+    # (parse.rs:295), so the final alignment is never tried; --fix-quirks
+    # includes it.
+    if plan.fix_quirks:
+        rep_in_range = offs + F <= lengths
+    else:
+        rep_in_range = offs + F < lengths
     mism = jnp.where(rep_in_range, n_const - relax, _BIG)
     mism_min = jnp.min(mism, axis=1)
     rep_off = jnp.argmin(mism, axis=1).astype(jnp.int32)
@@ -350,8 +400,12 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
     const_ok = len_ok & (has_exact | repair_ok)
     offset = jnp.where(has_exact, exact_off, rep_off)
     # Reference quirk: a repaired read's rebuilt sequence starts at 0, so
-    # quality is read from position 0, not the matched window.
-    qual_start = jnp.where(has_exact, exact_off, 0)
+    # quality is read from position 0, not the matched window;
+    # --fix-quirks reads it from the true window.
+    if plan.fix_quirks:
+        qual_start = offset
+    else:
+        qual_start = jnp.where(has_exact, exact_off, 0)
 
     if plan.min_quality > 0.0:
         lowq = const_ok & low_quality_mask(plan, quals, qual_start)

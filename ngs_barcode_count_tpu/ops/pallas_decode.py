@@ -160,8 +160,12 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             :, None
         ].astype(jnp.int32)
 
-        # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295)
-        rep_range = (o_idx + F < lengths) & (o_idx < O)
+        # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295);
+        # --fix-quirks includes the final alignment
+        if plan.fix_quirks:
+            rep_range = (o_idx + F <= lengths) & (o_idx < O)
+        else:
+            rep_range = (o_idx + F < lengths) & (o_idx < O)
         mism = jnp.where(rep_range, n_const - relax_o, _BIG)
         mism_min = jnp.min(mism, axis=1, keepdims=True)
         rep_off = jnp.argmin(mism.astype(jnp.float32), axis=1)[

@@ -82,20 +82,25 @@ def fix_error(mismatch_seq: str, possible_seqs, mismatches: int) -> str | None:
 
 
 def fix_constant_region(
-    sequence: str, format_string: str, max_constant_errors: int
-) -> str:
-    """parse.rs:287-313: window scan + rebuild; returns rebuilt sequence
-    (possibly "")."""
+    sequence: str, format_string: str, max_constant_errors: int,
+    fix_quirks: bool = False,
+) -> tuple[str, int]:
+    """parse.rs:287-313: window scan + rebuild; returns (rebuilt sequence
+    or "", window offset or -1).  fix_quirks includes the final alignment
+    the reference's exclusive range skips."""
     length_diff = len(sequence) - len(format_string)
+    stop = length_diff + 1 if fix_quirks else length_diff
     possible = [
-        sequence[i : i + len(format_string)] for i in range(length_diff)
-    ]  # exclusive: last alignment untried
+        sequence[i : i + len(format_string)] for i in range(stop)
+    ]
     best = fix_error(format_string, possible, max_constant_errors)
     if best is None:
-        return ""
-    return "".join(
+        return "", -1
+    offset = possible.index(best)
+    rebuilt = "".join(
         oc if fc == "N" else fc for oc, fc in zip(best, format_string)
     )
+    return rebuilt, offset
 
 
 def low_quality(
@@ -139,6 +144,7 @@ class Oracle:
         sample_seqs: list[str],
         counted_barcode_seqs: list[list[str]],
         min_quality: float = 0.0,
+        fix_quirks: bool = False,
     ):
         self.scheme = scheme
         self.max_errors = max_errors
@@ -146,25 +152,50 @@ class Oracle:
         self.sample_seqs = list(sample_seqs)
         self.counted_barcode_seqs = [list(s) for s in counted_barcode_seqs]
         self.min_quality = min_quality
+        self.fix_quirks = fix_quirks
+
+    def _low_quality_fixed(self, quality: str, qual_start: int) -> bool:
+        """--fix-quirks quality: every barcode region checked (including a
+        trailing one) at true format offsets from the matched window."""
+        from ngs_barcode_count_tpu.ops.decode import quality_segments_fixed
+
+        for seg in quality_segments_fixed(self.scheme):
+            scores = [
+                ord(ch) - 33
+                for ch in quality[
+                    qual_start + seg.start : qual_start + seg.start + seg.length
+                ]
+            ]
+            if scores and sum(scores) / len(scores) < self.min_quality:
+                return True
+        return False
 
     def decode(self, sequence: str, quality: str) -> OracleResult:
         scheme = self.scheme
         m = self.regex.search(sequence)
+        qual_start = m.start() if m is not None else 0
         if m is None:
             if len(sequence) < scheme.length:
                 # reference would panic on usize underflow; we drop as a
                 # constant-region error (documented divergence).
                 return OracleResult("constant_region")
-            sequence = fix_constant_region(
-                sequence, scheme.format_string, self.max_errors.constant_region
+            sequence, rep_off = fix_constant_region(
+                sequence, scheme.format_string,
+                self.max_errors.constant_region, self.fix_quirks,
             )
             m = self.regex.search(sequence)
             if m is None:
                 return OracleResult("constant_region")
+            # reference quirk: rebuilt sequence starts at 0, so quality
+            # reads from 0; --fix-quirks uses the true window offset
+            qual_start = rep_off if self.fix_quirks else m.start()
 
         if self.min_quality > 0.0:
-            if low_quality(
-                quality, self.min_quality, scheme.regions_string, m.start()
+            if self.fix_quirks:
+                if self._low_quality_fixed(quality, qual_start):
+                    return OracleResult("low_quality")
+            elif low_quality(
+                quality, self.min_quality, scheme.regions_string, qual_start
             ):
                 return OracleResult("low_quality")
 

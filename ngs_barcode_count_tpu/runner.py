@@ -63,6 +63,10 @@ class RunConfig:
     checkpoint_interval_s: float = 0.0
     resume: bool = False
     profile_dir: str | None = None
+    # --fix-quirks: corrected semantics instead of bug-for-bug reference
+    # parity (inclusive final repair window, all quality segments checked,
+    # post-repair quality from the true window offset)
+    fix_quirks: bool = False
 
     @property
     def checkpoint_path(self) -> str:
@@ -409,7 +413,8 @@ def setup(config: RunConfig):
         scheme.constant_region_length,
         config.min_average_quality_score,
     )
-    plan = dec.make_plan(scheme, conv, max_errors)
+    plan = dec.make_plan(scheme, conv, max_errors,
+                         fix_quirks=config.fix_quirks)
     return scheme, conv, max_errors, plan, enrich
 
 
