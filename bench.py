@@ -158,11 +158,15 @@ def main():
     # TPU: it is the hardware-relevant decode ceiling (the e2e number
     # above uses the default path, which on relay-attached sandboxes is
     # the XLA kernel - see runner._pallas_step_for)
+    pstep = None
     if on_tpu:
-        from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+        try:
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
-        pstep = pdec.build_pallas_packed_step(plan, pb.width)
-
+            pstep = pdec.build_pallas_packed_step(plan, pb.width)
+        except Exception:
+            pstep = None
+    if pstep is not None:
         def dev_step(state, counters):
             return pstep(state, counters, d_packed, d_lengths, d_exc_i,
                          d_exc_v, d_n)
