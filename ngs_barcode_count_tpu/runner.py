@@ -162,6 +162,26 @@ class CountAccumulator:
                 self._pallas_steps[width] = None
         return self._pallas_steps[width]
 
+    def _lengths_dev(self, lengths: np.ndarray):
+        """Illumina batches usually have one uniform read length: cache
+        the device copy per (value, batch) so repeat batches ship zero
+        length bytes over the host-device link."""
+        if len(lengths) == 0 or lengths[0] != lengths[-1]:
+            return lengths
+        v = int(lengths[0])
+        if not (lengths == v).all():
+            return lengths
+        key = (v, len(lengths), lengths.dtype.str)
+        if not hasattr(self, "_len_cache"):
+            self._len_cache = {}
+        dev = self._len_cache.get(key)
+        if dev is None:
+            import jax
+
+            dev = jax.device_put(lengths)
+            self._len_cache[key] = dev
+        return dev
+
     def step_packed(self, pb) -> None:
         """Wire-format fast path (dense mode): 2-bit packed bases go
         straight to the device; Phred lanes ship only when the quality
@@ -169,6 +189,7 @@ class CountAccumulator:
         (5x the XLA path) or the XLA path elsewhere."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        pb.lengths = self._lengths_dev(pb.lengths)
         if pb.quals is None and pb.packed.shape[0] % 256 == 0:
             pstep = self._pallas_step_for(pb.width)
             if pstep is not None:
@@ -238,6 +259,7 @@ class CountAccumulator:
         """Wire-format keyed step: packed bases up, 3-bit slot words down."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        pb.lengths = self._lengths_dev(pb.lengths)
         if pb.quals is not None:
             out = dec.keyed_decode_step_packed_q(
                 plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
