@@ -21,7 +21,7 @@ Three accumulation paths, chosen once from the scheme + conversion files
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
@@ -69,25 +69,65 @@ class DenseCounts:
         return np.asarray(counts).reshape(self.n_samples, self.n_combos)
 
 
-@dataclass
 class KeyedCounts:
-    """Host dict keyed by packed (sample, barcodes...) tuples.
+    """Host store keyed by packed (sample, barcodes...) tuples.
 
-    Keys are tuples of uint64 pack values; values are counts.  Batch
-    updates pre-aggregate with np.unique so dict traffic is per distinct
-    combo, not per read.
+    Batches append pre-aggregated (keys, counts) chunks (one np.unique
+    per batch, no Python per-key work); the dict materializes once at
+    flush via a single lexsort+reduceat consolidation, so a 400M-read
+    raw-DNA run costs one pass over *distinct* combos total.
     """
 
-    counts: dict[tuple[int, ...], int] = field(default_factory=dict)
+    def __init__(self) -> None:
+        self._chunks: list[tuple[np.ndarray, np.ndarray]] = []
+        self._counts: dict[tuple[int, ...], int] | None = None
 
     def add_batch(self, key_cols: list[np.ndarray], mask: np.ndarray) -> None:
         if not len(mask) or not mask.any():
             return
+        self._counts = None  # invalidate any materialized view
         keys = np.stack([np.asarray(c)[mask] for c in key_cols], axis=1)
         uniq, cnt = np.unique(keys, axis=0, return_counts=True)
-        for row, c in zip(uniq, cnt):
-            k = tuple(int(v) for v in row)
-            self.counts[k] = self.counts.get(k, 0) + int(c)
+        self._chunks.append((uniq, cnt.astype(np.int64)))
+        if len(self._chunks) > 256:  # bound memory on huge runs
+            self._chunks = [self._consolidate()]
+
+    def _consolidate(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self._chunks:
+            return np.zeros((0, 1), np.uint64), np.zeros(0, np.int64)
+        keys = np.concatenate([k for k, _ in self._chunks], axis=0)
+        cnts = np.concatenate([c for _, c in self._chunks])
+        order = np.lexsort(tuple(keys[:, j] for j in range(keys.shape[1] - 1, -1, -1)))
+        keys, cnts = keys[order], cnts[order]
+        new_group = np.ones(len(keys), bool)
+        if len(keys) > 1:
+            new_group[1:] = np.any(keys[1:] != keys[:-1], axis=1)
+        starts = np.flatnonzero(new_group)
+        totals = np.add.reduceat(cnts, starts)
+        return keys[starts], totals
+
+    @property
+    def counts(self) -> dict[tuple[int, ...], int]:
+        if self._counts is None:
+            keys, totals = self._consolidate()
+            self._counts = {
+                tuple(int(v) for v in row): int(c)
+                for row, c in zip(keys, totals)
+            }
+            # keep the consolidated form as the single remaining chunk
+            self._chunks = [(keys, totals)] if len(totals) else []
+        return self._counts
+
+    @counts.setter
+    def counts(self, value: dict[tuple[int, ...], int]) -> None:
+        """Checkpoint restore path."""
+        self._counts = dict(value)
+        if value:
+            keys = np.array(list(value.keys()), dtype=np.uint64)
+            totals = np.array(list(value.values()), dtype=np.int64)
+            self._chunks = [(keys, totals)]
+        else:
+            self._chunks = []
 
 
 class RandomDedup:
