@@ -21,8 +21,6 @@ Three accumulation paths, chosen once from the scheme + conversion files
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import numpy as np
 
 from ngs_barcode_count_tpu import dna
