@@ -40,6 +40,7 @@ ST_CONST = 1
 ST_SAMPLE = 2
 ST_BARCODE = 3
 ST_PADDING = 4
+ST_LOWQ = 5
 
 _BIG = np.int32(1 << 20)
 
@@ -95,14 +96,18 @@ def _match_matrix(onehot: np.ndarray, n_mask: np.ndarray, sl: int):
 def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                         interpret: bool = False):
     """Compile the fused kernel for width L.  Returns jitted
-    fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32)
-    -> (flat [B] int32, status [B] int32); B must be a multiple of TB."""
+    fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32[, quals])
+    -> (flat [B] int32, status [B] int32); B must be a multiple of TB.
+    When the plan's quality gate is on, the returned fn takes a fourth
+    ``quals [B, L] int8`` argument and the fused segment-mean check runs
+    in-kernel."""
     scheme = plan.scheme
     F = scheme.length
     if L < F:
         raise ValueError("read width below format length")
-    if not (plan.dense_counts and plan.min_quality == 0.0):
-        raise ValueError("pallas path covers dense counts with quality off")
+    if not plan.dense_counts:
+        raise ValueError("pallas path covers dense-count mode")
+    with_quals = plan.min_quality > 0.0
     O = L - F + 1
     O_pad = _round_up(O, 128)
     n_const = int(np.sum(scheme.kind == KIND_CONST))
@@ -131,7 +136,13 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     n_combos = int(np.prod(radix)) if radix else 1
     has_sample = scheme.sample_slot is not None
 
-    def kernel(n_reads_ref, lengths_ref, bases_ref, scan_w_ref, *refs):
+    def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
+        if with_quals:
+            quals_ref, scan_w_ref = refs[0], refs[1]
+            refs = refs[2:]
+        else:
+            scan_w_ref = refs[0]
+            refs = refs[1:]
         slot_w_refs = refs[: len(slots)]
         flat_ref, status_ref = refs[len(slots) :]
 
@@ -191,11 +202,32 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         for o in range(O):
             R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
 
-        # ---- per-slot matching ----
+        # ---- quality gate (fused segment means) ----
         status = jnp.where(
             is_read, jnp.where(const_ok, ST_VALID, ST_CONST), ST_PADDING
         )  # [TB, 1]
         ok_so_far = const_ok
+        if with_quals:
+            qualsf = quals_ref[...].astype(jnp.float32)  # [TB, L]
+            if plan.fix_quirks:
+                qual_start = offset
+            else:
+                # reference quirk: repaired reads read quality from 0
+                qual_start = jnp.where(has_exact, exact_off, 0)
+            sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(jnp.float32)
+            sel2 = sel2[:, :O]
+            lowq = jnp.zeros((TB, 1), bool)
+            for seg in plan.qual_segments:
+                wsum = jnp.zeros((TB, O), jnp.float32)
+                for r_ in range(seg.length):
+                    c0 = seg.start + r_
+                    wsum = wsum + qualsf[:, c0 : c0 + O]
+                ssum = jnp.sum(sel2 * wsum, axis=1, keepdims=True)
+                mean = ssum / jnp.float32(seg.length)
+                lowq = lowq | (mean < plan.min_quality)
+            lowq = const_ok & lowq
+            status = jnp.where(lowq, ST_LOWQ, status)
+            ok_so_far = const_ok & ~lowq
         combo = jnp.zeros((TB, 1), jnp.int32)
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
@@ -240,7 +272,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
 
     consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in slots]
 
-    def fn(bases, lengths, n_reads):
+    def fn(bases, lengths, n_reads, quals=None):
         B = bases.shape[0]
         if B % TB:
             raise ValueError(f"batch {B} not a multiple of tile {TB}")
@@ -250,13 +282,30 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
+        ]
+        args = [
+            n_reads.astype(jnp.int32),
+            lengths.astype(jnp.int32)[:, None],
+            bases,
+        ]
+        if with_quals:
+            if quals is None:
+                raise ValueError("quality gate on: quals required")
+            in_specs.append(
+                pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(quals)
+        in_specs.append(
             pl.BlockSpec(W_scan.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ] + [
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs += [
             pl.BlockSpec(Wm.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
             for (_, _, Wm, _, _, _) in slots
         ]
+        args += [jnp.asarray(w) for w in consts_np]
         flat, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -275,12 +324,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                 jax.ShapeDtypeStruct((B, 1), jnp.int32),
             ],
             interpret=interpret,
-        )(
-            n_reads.astype(jnp.int32),
-            lengths.astype(jnp.int32)[:, None],
-            bases,
-            *[jnp.asarray(w) for w in consts_np],
-        )
+        )(*args)
         return flat[:, 0], status[:, 0]
 
     return jax.jit(fn)
@@ -308,13 +352,9 @@ def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
     from ngs_barcode_count_tpu.ops.decode import unpack_bases
 
     decode_fn = build_pallas_decode(plan, width, TB=TB)
+    with_quals = plan.min_quality > 0.0
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(counts, counters, packed, lengths, exc_idx, exc_val, n_reads):
-        bases = unpack_bases(packed, exc_idx, exc_val, width)
-        flat, status = decode_fn(
-            bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
-        )
+    def _tally(counts, counters, flat, status):
         valid = status == ST_VALID
         counts = counts.at[jnp.where(valid, flat, 0)].add(
             valid.astype(counts.dtype)
@@ -324,7 +364,31 @@ def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
         add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
         add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
         add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+        add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
         return counts, counters + add
+
+    if with_quals:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(counts, counters, packed, lengths, exc_idx, exc_val,
+                 n_reads, quals):
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            flat, status = decode_fn(
+                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
+                quals,
+            )
+            return _tally(counts, counters, flat, status)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(counts, counters, packed, lengths, exc_idx, exc_val,
+                 n_reads):
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            flat, status = decode_fn(
+                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
+            )
+            return _tally(counts, counters, flat, status)
 
     _PACKED_STEP_CACHE[key] = step
     return step

@@ -143,8 +143,6 @@ class CountAccumulator:
         # hardware set NGS_DECODE_KERNEL=pallas.
         if os.environ.get("NGS_DECODE_KERNEL", "xla") != "pallas":
             return None
-        if self.plan.min_quality > 0.0:
-            return None  # quality gate runs on the XLA path
         import jax
 
         if jax.devices()[0].platform == "cpu":
@@ -190,13 +188,19 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
-        if pb.quals is None and pb.packed.shape[0] % 256 == 0:
+        if pb.packed.shape[0] % 256 == 0:
             pstep = self._pallas_step_for(pb.width)
             if pstep is not None:
-                self.dense_state, self.dense_counters = pstep(
-                    self.dense_state, self.dense_counters, pb.packed,
-                    pb.lengths, pb.exc_idx, pb.exc_val, n,
-                )
+                if pb.quals is not None:
+                    self.dense_state, self.dense_counters = pstep(
+                        self.dense_state, self.dense_counters, pb.packed,
+                        pb.lengths, pb.exc_idx, pb.exc_val, n, pb.quals,
+                    )
+                else:
+                    self.dense_state, self.dense_counters = pstep(
+                        self.dense_state, self.dense_counters, pb.packed,
+                        pb.lengths, pb.exc_idx, pb.exc_val, n,
+                    )
                 return
         if pb.quals is not None:
             self.dense_state, self.dense_counters = (

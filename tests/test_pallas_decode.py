@@ -130,3 +130,35 @@ def test_pallas_count_step(dense_setup, rng):
     )
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(c2))
     np.testing.assert_array_equal(np.asarray(counters), np.asarray(ctr2))
+
+
+def test_pallas_quality_gate(rng):
+    """Kernel quality path (fused segment means) == XLA path, strict
+    quirk semantics included."""
+    import jax.numpy as jnp
+    from ngs_barcode_count_tpu.conversions import BarcodeConversions
+
+    scheme = _strip_random(None)
+    from tests.test_decode_vs_oracle import build_plan
+
+    plan_q, oracle_q, conv_q = build_plan(scheme, min_quality=30.0)
+    reads = gen_reads(rng, scheme, 64, err_range=(0, 8))
+    quals = []
+    for r in reads:
+        q = rng.integers(22, 41, len(r)) + 33
+        quals.append("".join(chr(int(x)) for x in q))
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    n_reads = np.array([B], np.int32)
+    fn = pdec.build_pallas_decode(plan_q, L, TB=8, interpret=True)
+    flat_p, status_p = fn(bases, lengths, n_reads, quality)
+    out = dec.keyed_decode_step(plan_q, bases, quality, lengths, mask)
+    lowq_p = np.asarray(status_p) == pdec.ST_LOWQ
+    valid_p = np.asarray(status_p) == pdec.ST_VALID
+    np.testing.assert_array_equal(valid_p, np.asarray(out["valid"]))
+    assert lowq_p.sum() == np.asarray(out["counters"])[stats.LOW_QUALITY]
+    assert lowq_p.sum() > 0
+    # oracle agreement
+    for i, (r, q) in enumerate(zip(reads, quals)):
+        o = oracle_q.decode(r, q)
+        assert (o.outcome == "low_quality") == bool(lowq_p[i]), (i, o.outcome)
