@@ -190,6 +190,15 @@ def main():
     dev_elapsed = time.perf_counter() - t0
     dev_rps = K * pb.n_reads / dev_elapsed
 
+    # ingest-only throughput (host side, no device work)
+    t0 = time.perf_counter()
+    n_ing = 0
+    for pb2 in read_fastq_packed_parallel(
+        fastq, min_width=scheme.length, batch_reads=batch_size,
+    ):
+        n_ing += pb2.n_reads
+    ingest_rps = n_ing / (time.perf_counter() - t0)
+
     matched = acc.seq_errors.matched
     print(
         json.dumps(
@@ -207,6 +216,7 @@ def main():
                     "device_resident_vs_baseline": round(
                         dev_rps / BASELINE_READS_PER_S, 2
                     ),
+                    "ingest_reads_per_s": round(ingest_rps, 1),
                 },
             }
         )
