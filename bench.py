@@ -94,8 +94,8 @@ def prepare_inputs(workdir: str, n_reads: int):
 
 
 def main():
-    n_reads = int(os.environ.get("NGS_BENCH_READS", 2_000_000))
-    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 19))
+    n_reads = int(os.environ.get("NGS_BENCH_READS", 4_000_000))
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
     workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
     fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
         workdir, n_reads
