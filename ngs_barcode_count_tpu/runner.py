@@ -662,6 +662,14 @@ def run(config: RunConfig) -> RunResult:
         )
         n_devices = 1
 
+    if config.fastq.endswith("fastq.gz"):
+        # reference input.rs:60-61 warning, printed at ingest start
+        print(
+            "If this program stops reading before the expected number of "
+            "sequencing reads, unzip the gzipped fastq and rerun."
+        )
+        print()
+
     acc = CountAccumulator(plan, conv, n_devices=n_devices)
     t0 = time.perf_counter()
     from ngs_barcode_count_tpu.utils.tracing import profile_to
