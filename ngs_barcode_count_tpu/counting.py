@@ -13,10 +13,15 @@ Three accumulation paths, chosen once from the scheme + conversion files
   emits extracted slot codes; the host packs them into 64-bit keys, folds
   each batch with ``np.unique`` (one dict op per *distinct* key, not per
   read), and keeps a Python dict.
-- **RandomDedup** — random-barcode schemes: PCR duplicates collapse via a
-  sorted-unique key array on the host; the count for a combo is the
-  cardinality of its random-barcode set (info.rs:770-801), and re-seen
-  keys increment the duplicates counter (parse.rs:65-69).
+- **RandomDedup** — random-barcode schemes without dense ids: PCR
+  duplicates collapse in the native C++ hash set; the count for a combo
+  is the cardinality of its random-barcode set (info.rs:770-801), and
+  re-seen keys increment the duplicates counter (parse.rs:65-69).
+
+Dense random schemes skip RandomDedup entirely: the runner keeps a
+device-resident dedup bytemap (one uint8 per possible (sample, combo,
+random) triple, scatter-max updates, popcount at flush) so random mode
+runs as fast as dense mode — see ops.decode.random_bitmap_step.
 """
 
 from __future__ import annotations

@@ -506,6 +506,87 @@ def keyed_decode_step(plan: DecodePlan, bases, quals, lengths, read_mask):
     return decode_batch(plan, bases, quals, lengths, read_mask)
 
 
+def random_base6_index(codes: jnp.ndarray) -> jnp.ndarray:
+    """[B, Lr] base codes (0..5: ACGT, N, OTHER) -> [B] base-6 index.
+
+    Exact for every possible read character, so the device dedup bytemap
+    distinguishes random barcodes precisely like the reference's string
+    set (info.rs:770-801)."""
+    B, Lr = codes.shape
+    c = codes.astype(jnp.int32)
+    idx = jnp.zeros((B,), jnp.int32)
+    for i in range(Lr):
+        idx = idx * 6 + c[:, i]
+    return idx
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+def random_bitmap_step(
+    plan: DecodePlan, bytemap, counters, bases, quals, lengths, read_mask
+):
+    """Fully-device random-barcode step: decode + dedup-bytemap update.
+
+    ``bytemap`` is ``[n_flat * 6**Lr]`` uint8 — one byte per possible
+    (sample, combo, random) triple, set to 1 on first sight via
+    scatter-max.  Per-batch, counters[MATCHED] accumulates VALID reads;
+    at flush the true matched count is the bytemap's popcount and
+    duplicates = valid - popcount (runner.finalize)."""
+    r = decode_batch(plan, bases, quals, lengths, read_mask)
+    flat = r["sample_idx"] * plan.n_combos + r["combo_flat"]
+    c6 = 6 ** plan.scheme.random_slot.length
+    ridx = random_base6_index(r["random_codes"])
+    byte_idx = jnp.where(r["valid"], flat * c6 + ridx, 0)
+    bytemap = bytemap.at[byte_idx].max(r["valid"].astype(bytemap.dtype))
+    counters = counters + r["counters"].at[stats.MATCHED].set(
+        jnp.sum(r["valid"])
+    )
+    return bytemap, counters
+
+
+@partial(jax.jit, static_argnums=(0, 7), donate_argnums=(1, 2))
+def random_bitmap_step_packed(
+    plan: DecodePlan, bytemap, counters, packed, lengths, exc_idx, exc_val,
+    width: int, n_reads,
+):
+    """Wire-format variant of random_bitmap_step."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    quals = jnp.zeros((B, 1), jnp.int8)
+    return random_bitmap_step.__wrapped__(
+        plan, bytemap, counters, bases, quals, lengths, read_mask
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2))
+def random_bitmap_step_packed_q(
+    plan: DecodePlan, bytemap, counters, packed, lengths, exc_idx, exc_val,
+    quals, width: int, n_reads,
+):
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    return random_bitmap_step.__wrapped__(
+        plan, bytemap, counters, bases, quals, lengths, read_mask
+    )
+
+
+@partial(jax.jit, static_argnums=0)
+def random_bitmap_counts(plan: DecodePlan, bytemap):
+    """Flush: per-(sample,combo) distinct-random counts = row sums."""
+    c6 = 6 ** plan.scheme.random_slot.length
+    n_flat = plan.n_samples * plan.n_combos
+    return jnp.sum(
+        bytemap.reshape(n_flat, c6).astype(jnp.int32), axis=1
+    )
+
+
 def pack_slot_words(codes: jnp.ndarray) -> jnp.ndarray:
     """[B, sl] int8 base codes -> [B, ceil(sl/10)] int32: 3 bits per base,
     10 bases per 30-bit word.  The host combines words j as

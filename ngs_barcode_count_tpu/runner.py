@@ -87,6 +87,14 @@ class RunResult:
     reads_per_second: float
 
 
+def _bitmap_fits(plan: dec.DecodePlan) -> bool:
+    """The dedup bytemap must fit HBM (one byte per possible
+    (sample, combo, random) triple)."""
+    limit = int(os.environ.get("NGS_BITMAP_LIMIT_BYTES", 2 << 30))
+    c6 = 6 ** plan.scheme.random_slot.length
+    return plan.n_samples * plan.n_combos * c6 <= limit
+
+
 class CountAccumulator:
     """Owns the mode-dependent accumulation state for a run.
 
@@ -100,6 +108,7 @@ class CountAccumulator:
         plan: dec.DecodePlan,
         conversions: BarcodeConversions,
         n_devices: int = 1,
+        allow_bitmap: bool = True,
     ):
         self.plan = plan
         self.conv = conversions
@@ -111,6 +120,25 @@ class CountAccumulator:
         self.dedup: RandomDedup | None = None
         self.engine = None
         self.engine_step = None
+        self.bitmap = None
+        if (
+            allow_bitmap
+            and n_devices == 1
+            and plan.scheme.random_barcode
+            and plan.dense_sample
+            and plan.dense_counted
+            and _bitmap_fits(plan)
+        ):
+            # fully-device random-barcode mode: dedup bytemap on HBM, no
+            # host-side key traffic at all (SURVEY.md section 7, item 6)
+            import jax.numpy as jnp
+
+            c6 = 6 ** plan.scheme.random_slot.length
+            n_bytes = plan.n_samples * plan.n_combos * c6
+            self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
+            self.bitmap = jnp.zeros(n_bytes, jnp.uint8)
+            self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            return
         if plan.dense_counts:
             self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
             import jax.numpy as jnp
@@ -188,6 +216,23 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
+        if self.bitmap is not None:
+            if pb.quals is not None:
+                self.bitmap, self.dense_counters = (
+                    dec.random_bitmap_step_packed_q(
+                        plan, self.bitmap, self.dense_counters, pb.packed,
+                        pb.lengths, pb.exc_idx, pb.exc_val, pb.quals,
+                        pb.width, n,
+                    )
+                )
+            else:
+                self.bitmap, self.dense_counters = (
+                    dec.random_bitmap_step_packed(
+                        plan, self.bitmap, self.dense_counters, pb.packed,
+                        pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n,
+                    )
+                )
+            return
         if pb.packed.shape[0] % 256 == 0:
             pstep = self._pallas_step_for(pb.width)
             if pstep is not None:
@@ -219,6 +264,12 @@ class CountAccumulator:
 
     def step(self, batch: batcher_mod.ReadBatch) -> None:
         plan = self.plan
+        if self.bitmap is not None:
+            self.bitmap, self.dense_counters = dec.random_bitmap_step(
+                plan, self.bitmap, self.dense_counters, batch.bases,
+                batch.quals, batch.lengths, batch.read_mask,
+            )
+            return
         if self.engine is not None:
             sb, sq, sl, sm = self.engine.shard_batch(
                 batch.bases, batch.quals, batch.lengths, batch.read_mask
@@ -324,6 +375,21 @@ class CountAccumulator:
         """Block on outstanding device work, psum the sharded state if a
         mesh engine is active, and fold the device counter vector into the
         host stats (once per run, not per batch)."""
+        if self.bitmap is not None:
+            # popcount of the dedup bytemap IS the matched count; the
+            # device MATCHED slot held valid reads until now
+            self.dense_state = dec.random_bitmap_counts(
+                self.plan, self.bitmap
+            )
+            ctr = np.asarray(self.dense_counters).copy()
+            new_total = int(np.asarray(self.dense_state).sum())
+            valid_total = int(ctr[stats.MATCHED])
+            ctr[stats.MATCHED] = new_total
+            ctr[stats.DUPLICATES] = valid_total - new_total
+            self.seq_errors.add_vector(ctr)
+            self.dense_counters = None
+            self.bitmap = None
+            return
         if self.engine is not None:
             self.dense_state, self.dense_counters = self.engine.merge(
                 self.dense_state, self.dense_counters
@@ -481,7 +547,7 @@ def decode_file(
         and native_mod.available()
         and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
     )
-    use_packed = plan.dense_counts and native_ok
+    use_packed = (plan.dense_counts or acc.bitmap is not None) and native_ok
     # keyed wire path: 3-bit slot words fit a uint64 key only up to 21nt
     scheme_slots = [s.length for s in scheme.barcode_slots]
     if scheme.sample_slot is not None:
@@ -493,7 +559,11 @@ def decode_file(
         and native_ok
         and max(scheme_slots) <= 21
     )
-    checkpointing = config.checkpoint_interval_s > 0 and use_packed
+    checkpointing = (
+        config.checkpoint_interval_s > 0
+        and use_packed
+        and acc.bitmap is None
+    )
     start_offset = 0
     if config.resume:
         if not use_packed:
@@ -670,7 +740,10 @@ def run(config: RunConfig) -> RunResult:
         )
         print()
 
-    acc = CountAccumulator(plan, conv, n_devices=n_devices)
+    acc = CountAccumulator(
+        plan, conv, n_devices=n_devices,
+        allow_bitmap=not (config.checkpoint_interval_s > 0 or config.resume),
+    )
     t0 = time.perf_counter()
     from ngs_barcode_count_tpu.utils.tracing import profile_to
 

@@ -292,3 +292,43 @@ def test_random_plus_quality_e2e(tmp_path, rng):
     exp, tallies = oracle_counts(cfg, reads, quals)
     assert tallies["low_quality"] > 0 and tallies["duplicates"] > 0
     assert_counts_equal(result, exp, tallies)
+
+
+def test_random_bitmap_mode_engaged(tmp_path, rng):
+    """The fully-device dedup bytemap engages for dense random schemes and
+    its counts equal the host keyed/dedup path."""
+    from ngs_barcode_count_tpu.runner import CountAccumulator, decode_file
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    reads, quals = [], []
+    randoms = ["ACGTACGT", "TTTTCCCC", "GGGGAAAA"]
+    for _ in range(300):
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 3)] for s in [BC1, BC2, BC3]]
+        r = simulate.make_read(rng, scheme, sample, counted,
+                               random_barcode=randoms[rng.integers(0, 3)],
+                               flank_left=2, flank_right=3)
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "bm.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    cfg.batch_size = 128
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc_bm = CountAccumulator(plan, conv)
+    assert acc_bm.bitmap is not None  # bytemap mode engaged
+    decode_file(cfg, plan, scheme, acc_bm)
+    acc_bm.finalize()
+
+    acc_host = CountAccumulator(plan, conv, allow_bitmap=False)
+    assert acc_host.bitmap is None and acc_host.dedup is not None
+    decode_file(cfg, plan, scheme, acc_host)
+    acc_host.finalize()
+
+    np.testing.assert_array_equal(
+        acc_bm.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc_bm.results_view().per_sample == acc_host.results_view().per_sample
