@@ -105,7 +105,7 @@ def match_barcodes_model_parallel(
     matches = jnp.dot(
         r, onehot_shard.astype(jnp.float32).T, preferred_element_type=jnp.float32
     )
-    if n_mask_shard.shape[-1] and True:
+    if n_mask_shard.shape[-1]:
         read_n = (slot_codes == dna.N).astype(jnp.float32)
         matches = matches - 3.0 * jnp.dot(
             read_n, n_mask_shard.astype(jnp.float32).T,
