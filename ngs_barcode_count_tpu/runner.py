@@ -164,12 +164,14 @@ class CountAccumulator:
         """Fused-kernel step, built per read width.  Only on real TPU
         backends (Mosaic does not lower on CPU) and unless disabled via
         NGS_DECODE_KERNEL=xla."""
-        # Default: XLA.  The fused Pallas kernel is 4x faster measured
-        # device-resident (10.3M vs 2.6M reads/s on v5e), but through
-        # this sandbox's loopback relay its executions do not overlap
-        # host transfers, costing end-to-end throughput; on direct-PCIe
-        # hardware set NGS_DECODE_KERNEL=pallas.
-        if os.environ.get("NGS_DECODE_KERNEL", "xla") != "pallas":
+        # The fused Pallas kernel is 4x faster measured device-resident
+        # (10.3M vs 2.6M reads/s on v5e), but through an axon loopback
+        # relay its executions do not overlap host transfers, costing
+        # end-to-end throughput.  Default: pallas on direct-attached
+        # hardware, xla under a relay; NGS_DECODE_KERNEL overrides.
+        on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+        default = "xla" if on_relay else "pallas"
+        if os.environ.get("NGS_DECODE_KERNEL", default) != "pallas":
             return None
         import jax
 
