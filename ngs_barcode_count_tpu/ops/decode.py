@@ -662,23 +662,65 @@ def dense_count_step_packed_q(
 
 
 def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
-    """Compress keyed-mode per-read outputs to the minimum wire bytes:
-    valid mask, counter vector, and 3-bit-packed slot words (or dense
-    indices) instead of raw code arrays."""
-    compact = {"valid": out["valid"], "counters": out["counters"]}
+    """Compress keyed-mode per-read outputs to ONE int32 matrix so the
+    host needs a single device fetch per batch (device-to-host round
+    trips dominate keyed-mode cost on high-latency links).
+
+    Column layout (host side decodes via keyed_wire_layout):
+      [0] valid flag, then sample (1 idx col or ceil(Ls/10) word cols),
+      then combo (1 col) or per-slot 3-bit word cols, then random word
+      cols when present.
+    """
+    cols = [out["valid"].astype(jnp.int32)[:, None]]
     if "sample_codes" in out:
-        compact["sample_words"] = pack_slot_words(out["sample_codes"])
+        cols.append(pack_slot_words(out["sample_codes"]))
     else:
-        compact["sample_idx"] = out["sample_idx"]
+        cols.append(out["sample_idx"][:, None])
     if "combo_flat" in out:
-        compact["combo_flat"] = out["combo_flat"]
+        cols.append(out["combo_flat"][:, None])
     else:
-        compact["counted_words"] = [
-            pack_slot_words(c) for c in out["counted_codes"]
-        ]
+        for c in out["counted_codes"]:
+            cols.append(pack_slot_words(c))
     if "random_codes" in out:
-        compact["random_words"] = pack_slot_words(out["random_codes"])
-    return compact
+        cols.append(pack_slot_words(out["random_codes"]))
+    return {
+        "wire": jnp.concatenate(cols, axis=1),
+        "counters": out["counters"],
+    }
+
+
+def keyed_wire_layout(plan: DecodePlan) -> dict:
+    """Column spans of the keyed wire matrix (see _keyed_packed_outputs)."""
+    scheme = plan.scheme
+    layout = {"valid": (0, 1)}
+    pos = 1
+
+    def words(n):
+        return -(-n // 10)
+
+    if scheme.sample_slot is not None and plan.sample_onehot is None:
+        w = words(scheme.sample_slot.length)
+        layout["sample_words"] = (pos, w)
+        pos += w
+    else:
+        layout["sample_idx"] = (pos, 1)
+        pos += 1
+    if plan.dense_counted:
+        layout["combo_flat"] = (pos, 1)
+        pos += 1
+    else:
+        spans = []
+        for s in scheme.barcode_slots:
+            w = words(s.length)
+            spans.append((pos, w))
+            pos += w
+        layout["counted_words"] = spans
+    if scheme.random_slot is not None:
+        w = words(scheme.random_slot.length)
+        layout["random_words"] = (pos, w)
+        pos += w
+    layout["total"] = pos
+    return layout
 
 
 @partial(jax.jit, static_argnums=(0, 5))

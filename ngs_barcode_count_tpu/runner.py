@@ -313,7 +313,9 @@ class CountAccumulator:
         return out
 
     def step_packed_keyed(self, pb) -> None:
-        """Wire-format keyed step: packed bases up, 3-bit slot words down."""
+        """Wire-format keyed step: packed bases up, ONE int32 wire matrix
+        down (a single device fetch per batch — round-trip latency, not
+        bytes, dominates the return path on relay links)."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
@@ -327,22 +329,32 @@ class CountAccumulator:
                 plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
                 pb.width, n,
             )
+        wire = np.asarray(out["wire"])  # the one big fetch
+        layout = dec.keyed_wire_layout(plan)
+
+        def span(key):
+            s, w = layout[key]
+            return wire[:, s : s + w]
+
+        valid = span("valid")[:, 0].astype(bool)
         cols: list[np.ndarray] = []
-        if "sample_words" in out:
-            cols.append(self._combine_words(out["sample_words"]))
+        if "sample_words" in layout:
+            cols.append(self._combine_words(span("sample_words")))
         else:
-            cols.append(np.asarray(out["sample_idx"]).astype(np.uint64))
-        if "combo_flat" in out:
-            cols.append(np.asarray(out["combo_flat"]).astype(np.uint64))
+            cols.append(span("sample_idx")[:, 0].astype(np.uint64))
+        if "combo_flat" in layout:
+            cols.append(span("combo_flat")[:, 0].astype(np.uint64))
         else:
-            for w in out["counted_words"]:
-                cols.append(self._combine_words(w))
+            for s, w in layout["counted_words"]:
+                cols.append(self._combine_words(wire[:, s : s + w]))
         rnd = (
-            self._combine_words(out["random_words"])
-            if "random_words" in out
+            self._combine_words(span("random_words"))
+            if "random_words" in layout
             else None
         )
-        self._accumulate_keyed(out, cols, rnd)
+        self._accumulate_keyed(
+            {"counters": out["counters"], "valid": valid}, cols, rnd
+        )
 
     def _accumulate_keyed(self, out, key_cols, rnd) -> None:
         self.seq_errors.add_vector(np.asarray(out["counters"]))
