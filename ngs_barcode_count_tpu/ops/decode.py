@@ -671,16 +671,26 @@ def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
       then combo (1 col) or per-slot 3-bit word cols, then random word
       cols when present.
     """
-    cols = [out["valid"].astype(jnp.int32)[:, None]]
-    if "sample_codes" in out:
-        cols.append(pack_slot_words(out["sample_codes"]))
+    fused = _fused_bits(plan)
+    if fused is not None:
+        s_bits, c_bits = fused
+        col0 = (
+            (out["valid"].astype(jnp.int32) << (s_bits + c_bits))
+            | (out["sample_idx"] << c_bits)
+            | out["combo_flat"]
+        )
+        cols = [col0[:, None]]
     else:
-        cols.append(out["sample_idx"][:, None])
-    if "combo_flat" in out:
-        cols.append(out["combo_flat"][:, None])
-    else:
-        for c in out["counted_codes"]:
-            cols.append(pack_slot_words(c))
+        cols = [out["valid"].astype(jnp.int32)[:, None]]
+        if "sample_codes" in out:
+            cols.append(pack_slot_words(out["sample_codes"]))
+        else:
+            cols.append(out["sample_idx"][:, None])
+        if "combo_flat" in out:
+            cols.append(out["combo_flat"][:, None])
+        else:
+            for c in out["counted_codes"]:
+                cols.append(pack_slot_words(c))
     if "random_codes" in out:
         cols.append(pack_slot_words(out["random_codes"]))
     return {
@@ -689,14 +699,36 @@ def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
     }
 
 
+def _fused_bits(plan: DecodePlan):
+    """(sample_bits, combo_bits) when valid+sample+combo fit one int32
+    (the usual random-barcode DEL case), else None."""
+    if not (plan.dense_sample and plan.dense_counted):
+        return None
+    s_bits = max(int(plan.n_samples - 1).bit_length(), 1)
+    c_bits = max(int(plan.n_combos - 1).bit_length(), 1)
+    return (s_bits, c_bits) if 1 + s_bits + c_bits <= 31 else None
+
+
 def keyed_wire_layout(plan: DecodePlan) -> dict:
     """Column spans of the keyed wire matrix (see _keyed_packed_outputs)."""
     scheme = plan.scheme
-    layout = {"valid": (0, 1)}
-    pos = 1
 
     def words(n):
         return -(-n // 10)
+
+    fused = _fused_bits(plan)
+    if fused is not None:
+        layout = {"fused": (0, 1, fused[0], fused[1])}
+        pos = 1
+        if scheme.random_slot is not None:
+            w = words(scheme.random_slot.length)
+            layout["random_words"] = (pos, w)
+            pos += w
+        layout["total"] = pos
+        return layout
+
+    layout = {"valid": (0, 1)}
+    pos = 1
 
     if scheme.sample_slot is not None and plan.sample_onehot is None:
         w = words(scheme.sample_slot.length)

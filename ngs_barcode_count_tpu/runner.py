@@ -333,11 +333,29 @@ class CountAccumulator:
         layout = dec.keyed_wire_layout(plan)
 
         def span(key):
-            s, w = layout[key]
+            s, w = layout[key][:2]
             return wire[:, s : s + w]
 
-        valid = span("valid")[:, 0].astype(bool)
         cols: list[np.ndarray] = []
+        if "fused" in layout:
+            _, _, s_bits, c_bits = layout["fused"]
+            col0 = wire[:, 0]
+            valid = (col0 >> (s_bits + c_bits)).astype(bool)
+            cols.append(
+                ((col0 >> c_bits) & ((1 << s_bits) - 1)).astype(np.uint64)
+            )
+            cols.append((col0 & ((1 << c_bits) - 1)).astype(np.uint64))
+            rnd = (
+                self._combine_words(span("random_words"))
+                if "random_words" in layout
+                else None
+            )
+            self._accumulate_keyed(
+                {"counters": out["counters"], "valid": valid}, cols, rnd
+            )
+            return
+
+        valid = span("valid")[:, 0].astype(bool)
         if "sample_words" in layout:
             cols.append(self._combine_words(span("sample_words")))
         else:
