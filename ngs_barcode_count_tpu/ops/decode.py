@@ -684,8 +684,9 @@ def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
         cols = [out["valid"].astype(jnp.int32)[:, None]]
         if "sample_codes" in out:
             cols.append(pack_slot_words(out["sample_codes"]))
-        else:
+        elif plan.scheme.sample_slot is not None:
             cols.append(out["sample_idx"][:, None])
+        # no sample region: the index is always 0, omit the column
         if "combo_flat" in out:
             cols.append(out["combo_flat"][:, None])
         else:
@@ -734,9 +735,10 @@ def keyed_wire_layout(plan: DecodePlan) -> dict:
         w = words(scheme.sample_slot.length)
         layout["sample_words"] = (pos, w)
         pos += w
-    else:
+    elif scheme.sample_slot is not None:
         layout["sample_idx"] = (pos, 1)
         pos += 1
+    # else: no sample region -> index constant 0, no column
     if plan.dense_counted:
         layout["combo_flat"] = (pos, 1)
         pos += 1

@@ -358,8 +358,10 @@ class CountAccumulator:
         valid = span("valid")[:, 0].astype(bool)
         if "sample_words" in layout:
             cols.append(self._combine_words(span("sample_words")))
-        else:
+        elif "sample_idx" in layout:
             cols.append(span("sample_idx")[:, 0].astype(np.uint64))
+        else:  # no sample region: constant index 0
+            cols.append(np.zeros(len(valid), np.uint64))
         if "combo_flat" in layout:
             cols.append(span("combo_flat")[:, 0].astype(np.uint64))
         else:
