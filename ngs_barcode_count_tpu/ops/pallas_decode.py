@@ -411,3 +411,328 @@ def pallas_dense_count_step(plan: DecodePlan, decode_fn, counts, counters,
     add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
     add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
     return counts, counters + add
+
+
+# ---------------------------------------------------------------------------
+# Keyed-mode kernel: same fused pipeline, emits the wire matrix
+# ---------------------------------------------------------------------------
+
+
+def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
+                              interpret: bool = False):
+    """Fused kernel for keyed modes (raw-DNA slots and/or random
+    barcode): outputs (wire [B, C] int32, status [B] int32) with the wire
+    column layout of ops.decode.keyed_wire_layout, so the host-side
+    consumer is identical to the XLA path's."""
+    from ngs_barcode_count_tpu.ops.decode import (
+        _fused_bits,
+        keyed_wire_layout,
+    )
+
+    scheme = plan.scheme
+    F = scheme.length
+    if L < F:
+        raise ValueError("read width below format length")
+    with_quals = plan.min_quality > 0.0
+    O = L - F + 1
+    O_pad = _round_up(O, 128)
+    n_const = int(np.sum(scheme.kind == KIND_CONST))
+    n_wild = int(np.sum(scheme.kind == KIND_WILD))
+    max_const = plan.max_errors.constant_region
+    W_scan = _scan_matrix(plan, L, O, O_pad)
+    layout = keyed_wire_layout(plan)
+    fused = _fused_bits(plan)
+    n_wire = layout["total"]
+
+    # matchers only for regions with candidate sets
+    matchers = []  # (name, slot, Wm, nc, nc_pad, budget)
+    if scheme.sample_slot is not None and plan.sample_onehot is not None:
+        Wm, nc, nc_pad = _match_matrix(
+            plan.sample_onehot, plan.sample_n_mask, scheme.sample_slot.length
+        )
+        matchers.append(("sample", scheme.sample_slot, Wm, nc, nc_pad,
+                         int(plan.max_errors.sample_barcode)))
+    if plan.counted_onehots is not None:
+        for i, slot in enumerate(scheme.barcode_slots):
+            Wm, nc, nc_pad = _match_matrix(
+                plan.counted_onehots[i], plan.counted_n_masks[i], slot.length
+            )
+            matchers.append((f"bc{i}", slot, Wm, nc, nc_pad,
+                             int(plan.max_errors.barcode[i])))
+    radix = plan.combo_radix if plan.dense_counted else ()
+
+    def _slot_words(R, slot):
+        """3-bit/base words (10 bases per int32), layout matching
+        ops.decode.pack_slot_words."""
+        r_int = R[:, slot.offset : slot.offset + slot.length].astype(
+            jnp.int32
+        )
+        n_words = -(-slot.length // 10)
+        words = []
+        for w in range(n_words):
+            acc = jnp.zeros((TB, 1), jnp.int32)
+            for i in range(w * 10, min((w + 1) * 10, slot.length)):
+                acc = acc | (r_int[:, i : i + 1] << (3 * (i - w * 10)))
+            words.append(acc)
+        return jnp.concatenate(words, axis=1) if len(words) > 1 else words[0]
+
+    def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
+        if with_quals:
+            quals_ref, scan_w_ref = refs[0], refs[1]
+            refs = refs[2:]
+        else:
+            scan_w_ref = refs[0]
+            refs = refs[1:]
+        slot_w_refs = refs[: len(matchers)]
+        wire_ref, status_ref = refs[len(matchers) :]
+
+        tile = pl.program_id(0)
+        basesf = bases_ref[...].astype(jnp.float32)
+        lengths = lengths_ref[...]
+        row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
+        is_read = row < n_reads_ref[0]
+
+        x1h = jnp.concatenate(
+            [(basesf == c).astype(jnp.float32) for c in range(5)], axis=1
+        )
+        scan = jnp.dot(
+            x1h, scan_w_ref[...], preferred_element_type=jnp.float32
+        ).astype(jnp.int32)
+        strict_o = scan[:, :O_pad]
+        wild_o = scan[:, O_pad : 2 * O_pad]
+        relax_o = scan[:, 2 * O_pad : 3 * O_pad]
+        o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
+        o_in_range = (o_idx + F <= lengths) & (o_idx < O)
+
+        exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
+        has_exact = jnp.any(exact, axis=1, keepdims=True)
+        exact_off = jnp.argmax(exact.astype(jnp.float32), axis=1)[
+            :, None
+        ].astype(jnp.int32)
+        if plan.fix_quirks:
+            rep_range = (o_idx + F <= lengths) & (o_idx < O)
+        else:
+            rep_range = (o_idx + F < lengths) & (o_idx < O)
+        mism = jnp.where(rep_range, n_const - relax_o, _BIG)
+        mism_min = jnp.min(mism, axis=1, keepdims=True)
+        rep_off = jnp.argmin(mism.astype(jnp.float32), axis=1)[
+            :, None
+        ].astype(jnp.int32)
+        n_best = jnp.sum(
+            ((mism == mism_min) & rep_range).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+        wild_at_rep = jnp.sum(
+            jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
+        )
+        repair_ok = (
+            (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
+        )
+        len_ok = (lengths >= F) & is_read
+        const_ok = len_ok & (has_exact | repair_ok)
+        offset = jnp.where(has_exact, exact_off, rep_off)
+
+        sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
+        R = jnp.zeros((TB, F), jnp.float32)
+        for o in range(O):
+            R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
+
+        status = jnp.where(
+            is_read, jnp.where(const_ok, ST_VALID, ST_CONST), ST_PADDING
+        )
+        ok_so_far = const_ok
+        if with_quals:
+            qualsf = quals_ref[...].astype(jnp.float32)
+            if plan.fix_quirks:
+                qual_start = offset
+            else:
+                qual_start = jnp.where(has_exact, exact_off, 0)
+            sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(
+                jnp.float32
+            )[:, :O]
+            lowq = jnp.zeros((TB, 1), bool)
+            for seg in plan.qual_segments:
+                wsum = jnp.zeros((TB, O), jnp.float32)
+                for r_ in range(seg.length):
+                    c0 = seg.start + r_
+                    wsum = wsum + qualsf[:, c0 : c0 + O]
+                ssum = jnp.sum(sel2 * wsum, axis=1, keepdims=True)
+                lowq = lowq | (
+                    ssum / jnp.float32(seg.length) < plan.min_quality
+                )
+            lowq = const_ok & lowq
+            status = jnp.where(lowq, ST_LOWQ, status)
+            ok_so_far = const_ok & ~lowq
+
+        sample_idx = jnp.zeros((TB, 1), jnp.int32)
+        combo = jnp.zeros((TB, 1), jnp.int32)
+        bc_pos = 0
+        for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(matchers):
+            sl = slot.length
+            r = R[:, slot.offset : slot.offset + sl]
+            is_n = (r == dna.N).astype(jnp.float32)
+            blocks = [
+                jnp.maximum((r == c).astype(jnp.float32), is_n)
+                for c in range(4)
+            ]
+            blocks.append(is_n)
+            m_in = jnp.concatenate(blocks, axis=1)
+            matches = jnp.dot(
+                m_in, slot_w_refs[s_i][...],
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.int32)
+            cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
+            m = jnp.where(cand_col < nc, sl - matches, _BIG)
+            m_min = jnp.min(m, axis=1, keepdims=True)
+            idx = jnp.argmin(m.astype(jnp.float32), axis=1)[
+                :, None
+            ].astype(jnp.int32)
+            uniq = (
+                jnp.sum((m == m_min).astype(jnp.int32), axis=1,
+                        keepdims=True) == 1
+            )
+            ok = (m_min <= budget) & uniq
+            code = ST_SAMPLE if name == "sample" else ST_BARCODE
+            status = jnp.where(ok_so_far & ~ok, code, status)
+            ok_so_far = ok_so_far & ok
+            if name == "sample":
+                sample_idx = idx
+            else:
+                combo = combo * radix[bc_pos] + idx
+                bc_pos += 1
+
+        valid = (status == ST_VALID) & ok_so_far
+        status = jnp.where(
+            (status == ST_VALID) & ~ok_so_far, ST_BARCODE, status
+        )  # unreachable guard; matcher loop already set codes
+        valid_i = valid.astype(jnp.int32)
+
+        # ---- wire assembly (ops.decode.keyed_wire_layout) ----
+        cols = []
+        if fused is not None:
+            s_bits, c_bits = fused
+            cols.append(
+                (valid_i << (s_bits + c_bits)) | (sample_idx << c_bits)
+                | combo
+            )
+        else:
+            cols.append(valid_i)
+            if "sample_words" in layout:
+                cols.append(_slot_words(R, scheme.sample_slot))
+            elif "sample_idx" in layout:
+                cols.append(sample_idx)
+            if "combo_flat" in layout:
+                cols.append(combo)
+            elif "counted_words" in layout:
+                for slot in scheme.barcode_slots:
+                    cols.append(_slot_words(R, slot))
+        if "random_words" in layout:
+            cols.append(_slot_words(R, scheme.random_slot))
+        wire_ref[...] = jnp.concatenate(cols, axis=1)
+        status_ref[...] = status
+
+    consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in matchers]
+
+    def fn(bases, lengths, n_reads, quals=None):
+        B = bases.shape[0]
+        if B % TB:
+            raise ValueError(f"batch {B} not a multiple of tile {TB}")
+        grid = (B // TB,)
+        in_specs = [
+            pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = [
+            n_reads.astype(jnp.int32),
+            lengths.astype(jnp.int32)[:, None],
+            bases,
+        ]
+        if with_quals:
+            if quals is None:
+                raise ValueError("quality gate on: quals required")
+            in_specs.append(
+                pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(quals)
+        in_specs.append(
+            pl.BlockSpec(W_scan.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs += [
+            pl.BlockSpec(Wm.shape, lambda i, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+            for (_, _, Wm, _, _, _) in matchers
+        ]
+        args += [jnp.asarray(w) for w in consts_np]
+        wire, status = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec((TB, n_wire), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, n_wire), jnp.int32),
+                jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )(*args)
+        return wire, status[:, 0]
+
+    return jax.jit(fn)
+
+
+def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
+                                   TB: int = 256):
+    """Wire-format keyed step with the fused kernel inside (cached like
+    build_pallas_packed_step).  Returns {"wire", "counters"} matching
+    ops.decode.keyed_decode_step_packed's contract."""
+    key = ("keyed", id(plan), width, TB)
+    if key in _PACKED_STEP_CACHE:
+        return _PACKED_STEP_CACHE[key]
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+    decode_fn = build_pallas_decode_keyed(plan, width, TB=TB)
+    with_quals = plan.min_quality > 0.0
+
+    def _counters(status):
+        add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
+        add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
+        add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+        add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
+        return add
+
+    if with_quals:
+
+        @jax.jit
+        def step(packed, lengths, exc_idx, exc_val, n_reads, quals):
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            wire, status = decode_fn(
+                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
+                quals,
+            )
+            return {"wire": wire, "counters": _counters(status)}
+
+    else:
+
+        @jax.jit
+        def step(packed, lengths, exc_idx, exc_val, n_reads):
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            wire, status = decode_fn(
+                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
+            )
+            return {"wire": wire, "counters": _counters(status)}
+
+    _PACKED_STEP_CACHE[key] = step
+    return step

@@ -190,6 +190,29 @@ class CountAccumulator:
                 self._pallas_steps[width] = None
         return self._pallas_steps[width]
 
+    def _pallas_keyed_step_for(self, width: int):
+        """Keyed-mode fused-kernel step (same gating as the dense one)."""
+        on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+        default = "xla" if on_relay else "pallas"
+        if os.environ.get("NGS_DECODE_KERNEL", default) != "pallas":
+            return None
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return None
+        if not hasattr(self, "_pallas_keyed_steps"):
+            self._pallas_keyed_steps = {}
+        if width not in self._pallas_keyed_steps:
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+            try:
+                self._pallas_keyed_steps[width] = (
+                    pdec.build_pallas_keyed_packed_step(self.plan, width)
+                )
+            except Exception:
+                self._pallas_keyed_steps[width] = None
+        return self._pallas_keyed_steps[width]
+
     def _lengths_dev(self, lengths: np.ndarray):
         """Illumina batches usually have one uniform read length: cache
         the device copy per (value, batch) so repeat batches ship zero
@@ -319,7 +342,18 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
-        if pb.quals is not None:
+        pstep = (
+            self._pallas_keyed_step_for(pb.width)
+            if pb.packed.shape[0] % 256 == 0
+            else None
+        )
+        if pstep is not None:
+            if pb.quals is not None:
+                out = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                            n, pb.quals)
+            else:
+                out = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
+        elif pb.quals is not None:
             out = dec.keyed_decode_step_packed_q(
                 plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
                 pb.quals, pb.width, n,

@@ -162,3 +162,64 @@ def test_pallas_quality_gate(rng):
     for i, (r, q) in enumerate(zip(reads, quals)):
         o = oracle_q.decode(r, q)
         assert (o.outcome == "low_quality") == bool(lowq_p[i]), (i, o.outcome)
+
+
+def test_pallas_keyed_wire_parity(rng):
+    """Keyed-mode kernel emits the exact wire matrix the XLA path does
+    (random-barcode scheme with conversion files -> fused layout, and
+    raw-DNA scheme -> slot-word layout)."""
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from tests.conftest import EXAMPLE_SCHEME
+    from tests.test_decode_vs_oracle import build_plan
+
+    # case 1: random scheme + files (fused col0 + random words)
+    scheme_r = parse_scheme_text(EXAMPLE_SCHEME)
+    plan_r, oracle_r, conv_r = build_plan(scheme_r)
+    reads = gen_reads(rng, scheme_r, 64, err_range=(0, 8))
+    quals = ["I" * len(r) for r in reads]
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    n_reads = np.array([B], np.int32)
+
+    kfn = pdec.build_pallas_decode_keyed(plan_r, L, TB=8, interpret=True)
+    wire_p, status_p = kfn(bases, lengths, n_reads)
+    from ngs_barcode_count_tpu.ops.decode import (
+        _keyed_packed_outputs,
+        keyed_wire_layout,
+    )
+
+    out_x = dec.keyed_decode_step(plan_r, bases, quality, lengths, mask)
+    compact = jax.jit(
+        lambda: _keyed_packed_outputs(plan_r, out_x)
+    )()
+    wire_x = np.asarray(compact["wire"])
+    wire_p = np.asarray(wire_p)
+    valid = np.asarray(out_x["valid"])
+    # valid rows must agree entirely; invalid rows only on the valid bit
+    layout = keyed_wire_layout(plan_r)
+    _, _, s_bits, c_bits = layout["fused"]
+    np.testing.assert_array_equal(
+        wire_p[valid], wire_x[valid]
+    )
+    np.testing.assert_array_equal(
+        wire_p[:, 0] >> (s_bits + c_bits), valid.astype(np.int32)
+    )
+
+    # case 2: raw-DNA scheme (no files): slot words
+    scheme_s = parse_scheme_text("ACGTACGT\n{6}\nTTGGCCAA\n")
+    plan_s, oracle_s, conv_s = build_plan(scheme_s, with_files=False)
+    reads2 = gen_reads(rng, scheme_s, 32, err_range=(0, 2))
+    quals2 = ["I" * len(r) for r in reads2]
+    b2, q2, l2, m2 = encode_batch(reads2, quals2)
+    n2 = np.array([len(reads2)], np.int32)
+    kfn2 = pdec.build_pallas_decode_keyed(
+        plan_s, b2.shape[1], TB=8, interpret=True
+    )
+    wire2_p, status2 = kfn2(b2, l2, n2)
+    out2 = dec.keyed_decode_step(plan_s, b2, q2, l2, m2)
+    compact2 = jax.jit(lambda: _keyed_packed_outputs(plan_s, out2))()
+    wire2_x = np.asarray(compact2["wire"])
+    valid2 = np.asarray(out2["valid"])
+    np.testing.assert_array_equal(
+        np.asarray(wire2_p)[valid2], wire2_x[valid2]
+    )
