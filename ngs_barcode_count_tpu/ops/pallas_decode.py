@@ -166,10 +166,12 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         o_in_range = (o_idx + F <= lengths) & (o_idx < O)
 
         exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
-        has_exact = jnp.any(exact, axis=1, keepdims=True)  # [TB, 1]
-        exact_off = jnp.argmax(exact.astype(jnp.float32), axis=1)[
-            :, None
-        ].astype(jnp.int32)
+        has_exact = jnp.any(exact, axis=1, keepdims=True)
+        # LEFTMOST exact offset (the regex is a search): explicit min —
+        # Mosaic's argmax does not guarantee first-occurrence ties
+        exact_off = jnp.min(
+            jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
+        ).astype(jnp.int32)
 
         # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295);
         # --fix-quirks includes the final alignment
@@ -179,9 +181,10 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             rep_range = (o_idx + F < lengths) & (o_idx < O)
         mism = jnp.where(rep_range, n_const - relax_o, _BIG)
         mism_min = jnp.min(mism, axis=1, keepdims=True)
-        rep_off = jnp.argmin(mism.astype(jnp.float32), axis=1)[
-            :, None
-        ].astype(jnp.int32)
+        # first-minimum offset (deterministic; ties are dropped anyway)
+        rep_off = jnp.min(
+            jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
+        ).astype(jnp.int32)
         n_best = jnp.sum(
             ((mism == mism_min) & rep_range).astype(jnp.int32),
             axis=1, keepdims=True,
@@ -248,9 +251,9 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
             m = jnp.where(cand_col < nc, sl - matches, _BIG)
             m_min = jnp.min(m, axis=1, keepdims=True)
-            idx = jnp.argmin(m.astype(jnp.float32), axis=1)[
-                :, None
-            ].astype(jnp.int32)
+            idx = jnp.min(
+                jnp.where(m == m_min, cand_col, _BIG), axis=1, keepdims=True
+            ).astype(jnp.int32)
             uniq = (
                 jnp.sum((m == m_min).astype(jnp.int32), axis=1, keepdims=True)
                 == 1
@@ -506,18 +509,21 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
 
         exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
         has_exact = jnp.any(exact, axis=1, keepdims=True)
-        exact_off = jnp.argmax(exact.astype(jnp.float32), axis=1)[
-            :, None
-        ].astype(jnp.int32)
+        # LEFTMOST exact offset (the regex is a search): explicit min —
+        # Mosaic's argmax does not guarantee first-occurrence ties
+        exact_off = jnp.min(
+            jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
+        ).astype(jnp.int32)
         if plan.fix_quirks:
             rep_range = (o_idx + F <= lengths) & (o_idx < O)
         else:
             rep_range = (o_idx + F < lengths) & (o_idx < O)
         mism = jnp.where(rep_range, n_const - relax_o, _BIG)
         mism_min = jnp.min(mism, axis=1, keepdims=True)
-        rep_off = jnp.argmin(mism.astype(jnp.float32), axis=1)[
-            :, None
-        ].astype(jnp.int32)
+        # first-minimum offset (deterministic; ties are dropped anyway)
+        rep_off = jnp.min(
+            jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
+        ).astype(jnp.int32)
         n_best = jnp.sum(
             ((mism == mism_min) & rep_range).astype(jnp.int32),
             axis=1, keepdims=True,
@@ -584,9 +590,9 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
             cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
             m = jnp.where(cand_col < nc, sl - matches, _BIG)
             m_min = jnp.min(m, axis=1, keepdims=True)
-            idx = jnp.argmin(m.astype(jnp.float32), axis=1)[
-                :, None
-            ].astype(jnp.int32)
+            idx = jnp.min(
+                jnp.where(m == m_min, cand_col, _BIG), axis=1, keepdims=True
+            ).astype(jnp.int32)
             uniq = (
                 jnp.sum((m == m_min).astype(jnp.int32), axis=1,
                         keepdims=True) == 1
