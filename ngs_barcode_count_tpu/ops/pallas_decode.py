@@ -464,20 +464,40 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                              int(plan.max_errors.barcode[i])))
     radix = plan.combo_radix if plan.dense_counted else ()
 
-    def _slot_words(R, slot):
-        """3-bit/base words (10 bases per int32), layout matching
-        ops.decode.pack_slot_words."""
-        r_int = R[:, slot.offset : slot.offset + slot.length].astype(
-            jnp.int32
+    # Word packing runs as two small f32 matmuls per raw slot (exact:
+    # each half-word is <= 5*8^4 < 2^24) combined arithmetically —
+    # a per-lane shift/OR chain miscompiled under Mosaic, silently
+    # dropping high-position bases (caught by a 2M-read TPU diff).
+    def _word_weights(sl: int):
+        n_words = -(-sl // 10)
+        Wl = np.zeros((sl, n_words), np.float32)
+        Wh = np.zeros((sl, n_words), np.float32)
+        for i in range(sl):
+            w, r = divmod(i, 10)
+            if r < 5:
+                Wl[i, w] = float(8 ** r)
+            else:
+                Wh[i, w] = float(8 ** (r - 5))
+        return Wl, Wh
+
+    raw_slots = []  # (slot, Wl, Wh) for every slot emitted as words
+    if "sample_words" in layout:
+        raw_slots.append(
+            (scheme.sample_slot, *_word_weights(scheme.sample_slot.length))
         )
-        n_words = -(-slot.length // 10)
-        words = []
-        for w in range(n_words):
-            acc = jnp.zeros((TB, 1), jnp.int32)
-            for i in range(w * 10, min((w + 1) * 10, slot.length)):
-                acc = acc | (r_int[:, i : i + 1] << (3 * (i - w * 10)))
-            words.append(acc)
-        return jnp.concatenate(words, axis=1) if len(words) > 1 else words[0]
+    if "counted_words" in layout:
+        for slot in scheme.barcode_slots:
+            raw_slots.append((slot, *_word_weights(slot.length)))
+    if "random_words" in layout:
+        raw_slots.append(
+            (scheme.random_slot, *_word_weights(scheme.random_slot.length))
+        )
+
+    def _slot_words(R, slot, wl_ref, wh_ref):
+        r_slot = R[:, slot.offset : slot.offset + slot.length]  # f32 codes
+        low = jnp.dot(r_slot, wl_ref[...], preferred_element_type=jnp.float32)
+        high = jnp.dot(r_slot, wh_ref[...], preferred_element_type=jnp.float32)
+        return low.astype(jnp.int32) + high.astype(jnp.int32) * 32768
 
     def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
         if with_quals:
@@ -487,7 +507,9 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
             scan_w_ref = refs[0]
             refs = refs[1:]
         slot_w_refs = refs[: len(matchers)]
-        wire_ref, status_ref = refs[len(matchers) :]
+        refs = refs[len(matchers) :]
+        word_w_refs = refs[: 2 * len(raw_slots)]
+        wire_ref, status_ref = refs[2 * len(raw_slots) :]
 
         tile = pl.program_id(0)
         basesf = bases_ref[...].astype(jnp.float32)
@@ -614,6 +636,12 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         valid_i = valid.astype(jnp.int32)
 
         # ---- wire assembly (ops.decode.keyed_wire_layout) ----
+        word_iter = iter(range(0, 2 * len(raw_slots), 2))
+
+        def next_words(slot):
+            k = next(word_iter)
+            return _slot_words(R, slot, word_w_refs[k], word_w_refs[k + 1])
+
         cols = []
         if fused is not None:
             s_bits, c_bits = fused
@@ -624,20 +652,22 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         else:
             cols.append(valid_i)
             if "sample_words" in layout:
-                cols.append(_slot_words(R, scheme.sample_slot))
+                cols.append(next_words(scheme.sample_slot))
             elif "sample_idx" in layout:
                 cols.append(sample_idx)
             if "combo_flat" in layout:
                 cols.append(combo)
             elif "counted_words" in layout:
                 for slot in scheme.barcode_slots:
-                    cols.append(_slot_words(R, slot))
+                    cols.append(next_words(slot))
         if "random_words" in layout:
-            cols.append(_slot_words(R, scheme.random_slot))
+            cols.append(next_words(scheme.random_slot))
         wire_ref[...] = jnp.concatenate(cols, axis=1)
         status_ref[...] = status
 
     consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in matchers]
+    for _, Wl, Wh in raw_slots:
+        consts_np += [Wl, Wh]
 
     def fn(bases, lengths, n_reads, quals=None):
         B = bases.shape[0]
@@ -672,6 +702,13 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                          memory_space=pltpu.VMEM)
             for (_, _, Wm, _, _, _) in matchers
         ]
+        for _, Wl, Wh in raw_slots:
+            in_specs += [
+                pl.BlockSpec(Wl.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(Wh.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
         args += [jnp.asarray(w) for w in consts_np]
         wire, status = pl.pallas_call(
             kernel,
