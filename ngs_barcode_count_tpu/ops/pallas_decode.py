@@ -15,11 +15,14 @@ resident in VMEM end to end:
         mismatch counts ──(unique-argmin, budget, tie-drop)──► combo
 
 and writes two int32 vectors per read: flat count index and status.
-Semantics are bit-identical to ops/decode.py (same oracle parity suite).
+Semantics are bit-identical to ops/decode.py (same oracle parity suite,
+plus compiled-vs-XLA equality on multi-million-read real-TPU runs).
 
-Covers the dense-count, quality-gate-off configuration (the flagship DEL
-path); other modes use the XLA path.  Selected via
-``NGS_DECODE_KERNEL=pallas`` or RunConfig.
+Kernels cover every decode configuration: dense counts (with or without
+the fused in-kernel quality gate) and the keyed modes (raw-DNA slots and
+random barcodes) via build_pallas_decode_keyed, which emits the wire
+matrix directly.  Selection: Pallas by default on direct-attached TPUs,
+XLA under an axon relay; ``NGS_DECODE_KERNEL`` overrides.
 """
 
 from __future__ import annotations
