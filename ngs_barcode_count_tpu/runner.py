@@ -112,6 +112,25 @@ class CountAccumulator:
     ):
         self.plan = plan
         self.conv = conversions
+        self.n_devices = n_devices
+        self.shardings = None
+        if n_devices > 1:
+            # keyed/bitmap modes scale via jit auto-SPMD: inputs shard
+            # over a 1-D data mesh, XLA partitions the step (dense mode
+            # uses the explicit shard_map engine below instead)
+            import jax
+            from jax.sharding import (
+                Mesh,
+                NamedSharding,
+                PartitionSpec as P,
+            )
+
+            mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+            self.shardings = {
+                "rows2": NamedSharding(mesh, P("data", None)),
+                "rows1": NamedSharding(mesh, P("data")),
+                "repl": NamedSharding(mesh, P()),
+            }
         self.seq_errors = SequenceErrors()
         self.dense = None
         self.dense_state = None
@@ -213,6 +232,21 @@ class CountAccumulator:
                 self._pallas_keyed_steps[width] = None
         return self._pallas_keyed_steps[width]
 
+    def _shard_packed(self, pb) -> None:
+        """Multi-device keyed/bitmap runs: place batch rows sharded over
+        the data mesh so jit partitions the step across chips."""
+        if self.shardings is None:
+            return
+        import jax
+
+        sh = self.shardings
+        pb.packed = jax.device_put(pb.packed, sh["rows2"])
+        pb.lengths = jax.device_put(np.asarray(pb.lengths), sh["rows1"])
+        pb.exc_idx = jax.device_put(pb.exc_idx, sh["repl"])
+        pb.exc_val = jax.device_put(pb.exc_val, sh["repl"])
+        if pb.quals is not None:
+            pb.quals = jax.device_put(pb.quals, sh["rows2"])
+
     def _lengths_dev(self, lengths: np.ndarray):
         """Illumina batches usually have one uniform read length: cache
         the device copy per (value, batch) so repeat batches ship zero
@@ -241,6 +275,7 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
+        self._shard_packed(pb)
         if self.bitmap is not None:
             if pb.quals is not None:
                 self.bitmap, self.dense_counters = (
@@ -342,6 +377,7 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
+        self._shard_packed(pb)
         pstep = (
             self._pallas_keyed_step_for(pb.width)
             if pb.packed.shape[0] % 256 == 0
@@ -792,13 +828,6 @@ def run(config: RunConfig) -> RunResult:
         raise ValueError(
             f"--devices {n_devices} but only {len(jax.devices())} available"
         )
-    if n_devices > 1 and not plan.dense_counts:
-        print(
-            "Multi-device sharding currently applies to dense-count runs; "
-            "falling back to single-device for this mode",
-            file=sys.stderr,
-        )
-        n_devices = 1
 
     if config.fastq.endswith("fastq.gz"):
         # reference input.rs:60-61 warning, printed at ingest start

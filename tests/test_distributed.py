@@ -87,3 +87,35 @@ def test_multi_device_runner_equals_single(tmp_path, rng):
     )
     exp, tallies = oracle_counts(cfg1, reads, quals)
     assert_counts_equal(r8, exp, tallies)
+
+
+def test_multi_device_keyed_equals_single(tmp_path, rng):
+    """Random-barcode (keyed) runs shard via jit auto-SPMD: 8-device
+    results equal single-device."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT, gen_fastq
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 512, rng)
+
+    from ngs_barcode_count_tpu.runner import CountAccumulator, decode_file
+
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc1 = CountAccumulator(plan, conv, n_devices=1, allow_bitmap=False)
+    decode_file(cfg, plan, scheme, acc1)
+    acc1.finalize()
+
+    acc8 = CountAccumulator(plan, conv, n_devices=8, allow_bitmap=False)
+    decode_file(cfg, plan, scheme, acc8, n_devices=8)
+    acc8.finalize()
+
+    np.testing.assert_array_equal(
+        acc1.seq_errors.counters, acc8.seq_errors.counters
+    )
+    assert acc1.results_view().per_sample == acc8.results_view().per_sample
