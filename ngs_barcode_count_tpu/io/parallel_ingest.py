@@ -198,8 +198,12 @@ def _packed_range_iter(
             bucket = 1024
             while bucket < ne:
                 bucket *= 2
+            bucket = min(bucket, cap_exc)
+            # int16 lengths halve wire bytes; fall back to int32 for
+            # pathological >32k-base reads
+            ldtype = np.int16 if width <= 32767 else np.int32
             yield PackedReads(
-                packed, lengths.astype(np.int16), exc_idx[:bucket],
+                packed, lengths.astype(ldtype), exc_idx[:bucket],
                 exc_val[:bucket], quals, int(n), width
             )
     finally:
