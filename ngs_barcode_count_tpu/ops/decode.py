@@ -6,11 +6,11 @@ a ``[B, L]`` batch of reads:
 
 1.  **Offset scan** — the reference regex-searches each read for the format
     (constants exact, explicit-N runs ``[AGCT]``, barcode slots ``.{n}``;
-    parse.rs:92).  Here a single strided convolution of the one-hot read
-    tensor against three per-position format masks yields, for every
-    alignment offset at once: strict constant matches, N-wildcard-relaxed
-    constant matches, and wild-position ACGT counts.  The leftmost offset
-    where (strict == n_const and wild == n_wild) is the regex match.
+    parse.rs:92).  Here ONE MXU matmul of the c-major one-hot read tensor
+    against a precomputed scan matrix yields, for every alignment offset
+    at once: strict constant matches, N-wildcard-relaxed constant
+    matches, and wild-position ACGT counts.  The leftmost offset where
+    (strict == n_const and wild == n_wild) is the regex match.
 2.  **Constant-region repair** — when no offset matches exactly, the
     reference slides a window over offsets ``0..len-F`` (exclusive; the
     final alignment is never tried — parse.rs:291-304) and picks the
@@ -216,28 +216,6 @@ def make_plan(
 # ---------------------------------------------------------------------------
 
 
-def _format_filters(scheme: SequenceScheme) -> np.ndarray:
-    """Conv filters [3 out_channels, 5 in_channels, F].
-
-    ch0 strict-const: 1 at (fmt base) for constant positions.
-    ch1 wild-acgt:    1 at A,C,G,T for explicit-N positions.
-    ch2 relax-const:  1 at (fmt base) and at N for constant positions
-                      (read 'N' is a wildcard in fix_error, parse.rs:569).
-    """
-    F = scheme.length
-    w = np.zeros((3, 5, F), dtype=np.float32)
-    for p in range(F):
-        k = scheme.kind[p]
-        if k == KIND_CONST:
-            b = int(scheme.fmt_codes[p])
-            w[0, b, p] = 1.0
-            w[2, b, p] = 1.0
-            w[2, dna.N, p] = 1.0
-        elif k == KIND_WILD:
-            w[1, 0:4, p] = 1.0
-    return w
-
-
 def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     """For each read: the regex-match offset (leftmost exact), the repair
     offset (unique best window), and validity flags.
@@ -251,21 +229,23 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     n_const = int(np.sum(scheme.kind == KIND_CONST))
     n_wild = int(np.sum(scheme.kind == KIND_WILD))
 
-    # One-hot read over 5 strict channels; float for the MXU conv.
-    x = (bases[:, None, :] == jnp.arange(5, dtype=bases.dtype)[None, :, None])
-    x = x.astype(jnp.float32)  # [B, 5, L]
-    w = jnp.asarray(_format_filters(scheme))  # [3, 5, F]
-    out = jax.lax.conv_general_dilated(
-        x,
-        w,
-        window_strides=(1,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        preferred_element_type=jnp.float32,
-    )  # [B, 3, O]
-    strict = out[:, 0, :].astype(jnp.int32)
-    wild = out[:, 1, :].astype(jnp.int32)
-    relax = out[:, 2, :].astype(jnp.int32)
+    # One matmul over a c-major one-hot replaces the natural conv
+    # formulation: a 5-in/3-out-channel conv cannot tile onto the MXU
+    # (measured 4x slower device-resident than this matmul on v5e).
+    x1h = jnp.concatenate(
+        [(bases == c).astype(jnp.float32) for c in range(5)], axis=1
+    )  # [B, 5L] c-major
+    from ngs_barcode_count_tpu.ops.pallas_decode import (
+        _round_up,
+        _scan_matrix,
+    )
+
+    O_pad = _round_up(O, 128)
+    w = jnp.asarray(_scan_matrix(plan, L, O, O_pad))  # [5L, 3*O_pad]
+    out = jnp.dot(x1h, w, preferred_element_type=jnp.float32)
+    strict = out[:, :O].astype(jnp.int32)
+    wild = out[:, O_pad : O_pad + O].astype(jnp.int32)
+    relax = out[:, 2 * O_pad : 2 * O_pad + O].astype(jnp.int32)
 
     offs = jnp.arange(O, dtype=jnp.int32)[None, :]
     lengths = lengths.astype(jnp.int32)[:, None]

@@ -332,3 +332,43 @@ def test_random_bitmap_mode_engaged(tmp_path, rng):
         acc_bm.seq_errors.counters, acc_host.seq_errors.counters
     )
     assert acc_bm.results_view().per_sample == acc_host.results_view().per_sample
+
+
+def test_empty_fastq_run(tmp_path):
+    paths = write_inputs(tmp_path)
+    fq = tmp_path / "empty.fastq"
+    fq.write_text("")
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    result = run(cfg)
+    assert result.total_reads == 0
+    # pre-seeded samples still get header-only CSVs (Results::new parity)
+    for name in SAMPLES.values():
+        assert (tmp_path / f"test_{name}_counts.csv").read_text() == (
+            "Barcode_1,Barcode_2,Barcode_3,Count\n"
+        )
+
+
+def test_mixed_read_lengths_e2e(tmp_path, rng):
+    """Heterogeneous read lengths (width bucket growth mid-run)."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    reads, quals = [], []
+    for i in range(400):
+        # late reads much longer: forces a width regrowth after batches
+        fl = int(rng.integers(0, 6)) + (60 if i > 300 else 0)
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 3)] for s in [BC1, BC2, BC3]]
+        r = simulate.make_read(rng, scheme, sample, counted,
+                               flank_left=fl,
+                               flank_right=int(rng.integers(0, 6)),
+                               n_errors=int(rng.integers(0, 6)))
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "mixed.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    cfg.batch_size = 64
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
