@@ -155,6 +155,24 @@ void* fastq_open(const char* path, int gz, size_t chunk_bytes) {
   return r;
 }
 
+// Open an in-memory FASTQ buffer (used by the BGZF-parallel reader:
+// each thread inflates its block span to memory and parses here).
+// `range_end` bounds record ownership exactly like fastq_open_range;
+// the buffer must outlive the reader (the bytes are copied in, so it
+// need not).
+void* fastq_open_mem(const uint8_t* data, uint64_t len, uint64_t range_end) {
+  Reader* r = new Reader();
+  r->gz = false;
+  r->buf.assign(data, data + len);
+  r->buf_len = len;
+  r->buf_pos = 0;
+  r->eof = true;  // refill() will find nothing more
+  r->range_end = range_end;
+  r->carry.reserve(1024);
+  r->seq_line.reserve(1024);
+  return r;
+}
+
 // Open a byte range of a PLAIN fastq (multi-host sharding).  `start`
 // must already be aligned to a record boundary (the Python wrapper
 // aligns it); records whose description line starts at or beyond `end`
@@ -430,6 +448,64 @@ int64_t fastq_next_batch_packed(void* h, int64_t cap, int64_t width,
   }
   *exc_count = ne;
   return n;
+}
+
+// Inflate all gzip members whose first byte lies in file range
+// [start, end) into `out` (the BGZF-parallel reader: ISIZE fields give
+// the caller the exact output size up front).  Returns bytes written or
+// -1 on error.  Pure C path — ctypes releases the GIL, so threads
+// decompress truly in parallel (Python-side zlib.decompress on 64KB
+// members serializes on interpreter overhead).
+int64_t gz_inflate_span(const char* path, uint64_t start, uint64_t end,
+                        uint8_t* out, uint64_t out_cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return -1;
+  if (fseeko(f, static_cast<off_t>(start), SEEK_SET) != 0) {
+    fclose(f);
+    return -1;
+  }
+  std::vector<uint8_t> in(1 << 20);
+  uint64_t remaining = end - start;
+  uint64_t written = 0;
+  z_stream zs;
+  memset(&zs, 0, sizeof(zs));
+  bool live = false;
+  bool ok = true;
+  size_t in_len = 0, in_pos = 0;
+  while (ok) {
+    if (in_pos == in_len) {
+      if (remaining == 0) break;
+      size_t want = remaining < in.size() ? remaining : in.size();
+      in_len = fread(in.data(), 1, want, f);
+      in_pos = 0;
+      remaining -= in_len;
+      if (in_len == 0) break;  // truncated file: stop with what we have
+    }
+    if (!live) {
+      memset(&zs, 0, sizeof(zs));
+      if (inflateInit2(&zs, 31) != Z_OK) { ok = false; break; }
+      live = true;
+    }
+    if (written >= out_cap) { ok = false; break; }  // ISIZE lied
+    zs.next_in = in.data() + in_pos;
+    zs.avail_in = static_cast<uInt>(in_len - in_pos);
+    zs.next_out = out + written;
+    uint64_t room = out_cap - written;
+    zs.avail_out = static_cast<uInt>(room > 0xFFFFFFFFull ? 0xFFFFFFFFull
+                                                          : room);
+    int rc = inflate(&zs, Z_NO_FLUSH);
+    in_pos = in_len - zs.avail_in;
+    written = static_cast<uint64_t>(zs.next_out - out);
+    if (rc == Z_STREAM_END) {
+      inflateEnd(&zs);
+      live = false;
+    } else if (rc != Z_OK && rc != Z_BUF_ERROR) {
+      ok = false;
+    }
+  }
+  if (live) inflateEnd(&zs);
+  fclose(f);
+  return ok ? static_cast<int64_t>(written) : -1;
 }
 
 // Quick pre-scan helper: decode up to `limit` bytes and report the max

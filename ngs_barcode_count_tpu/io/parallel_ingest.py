@@ -44,6 +44,18 @@ def read_fastq_packed_parallel(
         n_threads = min(4, os.cpu_count() or 1)
     gz = path.endswith(".gz")
     size = os.path.getsize(path)
+    if gz and n_threads > 1 and start_offset == 0 and size > (8 << 20):
+        from ngs_barcode_count_tpu.io import bgzf
+
+        if bgzf.is_bgzf(path):
+            # block-gzip: members parallelize (io/bgzf.py); generic gzip
+            # is one DEFLATE stream and stays on the single producer
+            yield from bgzf.read_fastq_bgzf_parallel(
+                path, min_width=min_width, batch_reads=batch_reads,
+                with_quals=with_quals, n_threads=n_threads,
+                queue_depth=queue_depth,
+            )
+            return
     # Small files or resume-from-offset: one background thread.
     if gz or size < (64 << 20) or start_offset > 0 or n_threads == 1:
         ranges = None
