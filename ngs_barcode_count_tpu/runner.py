@@ -460,17 +460,52 @@ class CountAccumulator:
             self.seq_errors.correct_match(int(valid.sum()))
             self.keyed.add_batch(key_cols, valid)
 
+    def _intern_codes(self, tag: str, codes: np.ndarray) -> np.ndarray:
+        """Slots longer than 21nt cannot be 3-bit packed reversibly: map
+        each distinct sequence to a stable id via a host dict (the
+        bar-seq long-lineage-barcode case) and decode through
+        interned_sequences at flush."""
+        if not hasattr(self, "_interned"):
+            self._interned: dict[str, dict[bytes, int]] = {}
+            self._interned_rev: dict[str, list[np.ndarray]] = {}
+        table = self._interned.setdefault(tag, {})
+        rev = self._interned_rev.setdefault(tag, [])
+        rows = np.ascontiguousarray(codes)
+        uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+        ids = np.empty(len(uniq), np.uint64)
+        for i, row in enumerate(uniq):
+            key = row.tobytes()
+            idx = table.get(key)
+            if idx is None:
+                idx = len(rev)
+                table[key] = idx
+                rev.append(row.copy())
+            ids[i] = idx
+        return ids[inverse]
+
+    def interned_sequences(self, tag: str, idx: int) -> np.ndarray:
+        return self._interned_rev[tag][idx]
+
     def _key_columns(self, out) -> list[np.ndarray]:
         cols: list[np.ndarray] = []
+        scheme = self.plan.scheme
         if "sample_codes" in out:
-            cols.append(pack_codes(np.asarray(out["sample_codes"])))
+            codes = np.asarray(out["sample_codes"])
+            if codes.shape[1] <= 21:
+                cols.append(pack_codes(codes))
+            else:
+                cols.append(self._intern_codes("sample", codes))
         else:
             cols.append(np.asarray(out["sample_idx"]).astype(np.uint64))
         if "combo_flat" in out:
             cols.append(np.asarray(out["combo_flat"]).astype(np.uint64))
         else:
-            for codes in out["counted_codes"]:
-                cols.append(pack_codes(np.asarray(codes)))
+            for j, codes in enumerate(out["counted_codes"]):
+                codes = np.asarray(codes)
+                if codes.shape[1] <= 21:
+                    cols.append(pack_codes(codes))
+                else:
+                    cols.append(self._intern_codes(f"bc{j}", codes))
         return cols
 
     # -- finalization ------------------------------------------------------
@@ -537,19 +572,25 @@ class CountAccumulator:
                     combos[code] = int(arr[s, nz[row]])
             return ResultsView(per_sample)
 
-        # keyed mode: unpack 3-bit keys back to DNA strings
+        # keyed mode: unpack 3-bit keys back to DNA strings (interned
+        # ids for slots longer than 21nt)
         scheme = plan.scheme
         slot_lengths = [s.length for s in scheme.barcode_slots]
+
+        def _slot_str(tag, part, length):
+            if length <= 21:
+                return dna.decode(
+                    dna.unpack_3bit(np.array(part, dtype=np.uint64), length)
+                )
+            return dna.decode(self.interned_sequences(tag, int(part)))
+
         for key, count in self.keyed.counts.items():
             sample_part, rest = key[0], key[1:]
             if plan.dense_sample:
                 skey = self._sample_key_of_index(int(sample_part))
             else:
-                skey = dna.decode(
-                    dna.unpack_3bit(
-                        np.array(sample_part, dtype=np.uint64),
-                        scheme.sample_slot.length,
-                    )
+                skey = _slot_str(
+                    "sample", sample_part, scheme.sample_slot.length
                 )
             if plan.dense_counted:
                 idxs = []
@@ -564,11 +605,7 @@ class CountAccumulator:
                 )
             else:
                 code = ",".join(
-                    dna.decode(
-                        dna.unpack_3bit(
-                            np.array(rest[j], dtype=np.uint64), slot_lengths[j]
-                        )
-                    )
+                    _slot_str(f"bc{j}", rest[j], slot_lengths[j])
                     for j in range(len(slot_lengths))
                 )
             per_sample.setdefault(skey, {})[code] = count

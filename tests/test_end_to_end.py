@@ -372,3 +372,38 @@ def test_mixed_read_lengths_e2e(tmp_path, rng):
     result = run(cfg)
     exp, tallies = oracle_counts(cfg, reads, quals)
     assert_counts_equal(result, exp, tallies)
+
+
+def test_barseq_long_raw_barcode(tmp_path, rng):
+    """Bar-seq use case (reference README 'Uses'): a 30nt lineage barcode
+    counted by raw DNA — too long for reversible 3-bit packing, so keys
+    intern through the host table."""
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text("ACGTACGTAGCT\n{30}\nTTGGAACC\n")
+    paths = {"format": str(fmt)}
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    lineages = [simulate.random_seq(np.random.default_rng(s), 30)
+                for s in range(12)]
+    reads, quals = [], []
+    for _ in range(300):
+        r = simulate.make_read(
+            rng, scheme, None, [lineages[rng.integers(0, 12)]],
+            flank_left=int(rng.integers(0, 5)),
+            flank_right=int(rng.integers(0, 5)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "barseq.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
+    assert sum(result.results.per_sample["barcode"].values()) == tallies[
+        "matched"
+    ]
+    # every counted key is a full 30nt sequence
+    assert all(
+        len(k) == 30 for k in result.results.per_sample["barcode"]
+    )
