@@ -113,3 +113,41 @@ def test_model_parallel_matcher_tie_drop(eight_devices):
     assert not ok[2]
     # all-N read: distance 0 to every candidate -> tie -> dropped
     assert not ok[3]
+
+
+def test_model_parallel_with_n_candidates(eight_devices):
+    """Sharded matcher with N-containing candidates: the -3 correction
+    must survive the shard split."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    cands = ["AANAAA", "CCCCCC", "GGGGGG", "TTTTNT"]
+    bset = BarcodeSet.from_pairs([(c, str(i)) for i, c in enumerate(cands)], 6)
+    n_model = 2
+    oh = bset.onehot.reshape(n_model, 2, -1)
+    nm = bset.n_mask.reshape(n_model, 2, -1)
+    reads = ["AACAAA",  # dist 0 to AANAAA (N wildcard)
+             "TTTTTT",  # dist 0 to TTTTNT
+             "NNNNNN"]  # dist 0 to everything -> tie -> dropped
+    codes = np.stack([dna.encode(r) for r in reads])
+    mesh = Mesh(np.array(eight_devices[:n_model]).reshape(1, n_model),
+                ("data", "model"))
+
+    def local(oh_s, nm_s, codes):
+        return pmesh.match_barcodes_model_parallel(
+            codes, oh_s[0], nm_s[0], len(cands), 1
+        )
+
+    f = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P("model", None, None), P("model", None, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    idx, ok = f(oh, nm, codes)
+    idx, ok = np.asarray(idx), np.asarray(ok)
+    assert ok[0] and cands[idx[0]] == "AANAAA"
+    assert ok[1] and cands[idx[1]] == "TTTTNT"
+    assert not ok[2]
