@@ -48,8 +48,18 @@ class BarcodeSet:
     def from_pairs(cls, pairs: list[tuple[str, str]], length: int) -> "BarcodeSet":
         seqs = [s for s, _ in pairs]
         ids = [i for _, i in pairs]
+        # A wrong-length barcode is a malformed conversion file: padding or
+        # truncating it silently would make it unmatchable (the reference's
+        # fix_error zip-compares over the shorter length and can still
+        # match, so the two implementations would diverge quietly).
+        for s in seqs:
+            if len(s) != length:
+                raise ValueError(
+                    f"conversion-file barcode '{s}' is {len(s)}nt but the "
+                    f"scheme slot is {length}nt"
+                )
         codes = (
-            np.stack([dna.encode(s.ljust(length)[:length]) for s in seqs])
+            np.stack([dna.encode(s) for s in seqs])
             if seqs
             else np.zeros((0, length), dtype=np.int8)
         )

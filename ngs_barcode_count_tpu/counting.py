@@ -241,18 +241,20 @@ class RandomDedup:
         first_sorted = np.ones(len(comp), dtype=bool)
         first_sorted[1:] = ~same_as_prev
         first_in_batch[order] = first_sorted
-        # membership against the global store (sorted rows)
+        # membership against the global store (sorted rows): scan the FULL
+        # [left, right) run of equal-col0 rows, however many col0
+        # collisions there are (a bounded neighborhood would silently
+        # miscount once >k distinct keys shared col0)
         if len(self._keys):
-            pos = np.searchsorted(self._keys[:, 0], comp[:, 0])
-            pos = np.clip(pos, 0, len(self._keys) - 1)
-            # keys with equal col0 may span a range; scan both columns
+            left = np.searchsorted(self._keys[:, 0], comp[:, 0], side="left")
+            right = np.searchsorted(self._keys[:, 0], comp[:, 0], side="right")
             in_store = np.zeros(len(comp), dtype=bool)
-            # check a small neighborhood for col0 collisions
-            for delta in range(0, 4):
-                p = np.clip(pos + delta, 0, len(self._keys) - 1)
-                hit = (self._keys[p, 0] == comp[:, 0]) & (
-                    self._keys[p, 1] == comp[:, 1]
-                )
+            span = right - left
+            max_span = int(span.max()) if len(span) else 0
+            for delta in range(max_span):
+                active = delta < span
+                p = np.minimum(left + delta, len(self._keys) - 1)
+                hit = active & (self._keys[p, 1] == comp[:, 1])
                 in_store |= hit
         else:
             in_store = np.zeros(len(comp), dtype=bool)

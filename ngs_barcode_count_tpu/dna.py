@@ -18,14 +18,14 @@ PAD = 6  # positions past the true read length
 NUM_SYMBOLS = 7
 BASES = "ACGTN"
 
-# ASCII -> code lookup (uppercase and lowercase; the reference's regex is
-# case-insensitive for constants because it uppercases them, but read
-# sequences are compared as-is. FASTQ reads are uppercase in practice; we
-# accept lowercase too and normalize, matching `.` / `[AGCT]` semantics.)
+# ASCII -> code lookup. Uppercase only: the reference compares read
+# sequences as-is against uppercased constants and `[AGCT]` / fix_error
+# candidate strings (parse.rs:92, 569), so a lowercase base in a read can
+# never match anything there. Mapping lowercase to OTHER reproduces that
+# exactly (OTHER never matches and is not a wildcard).
 ASCII_TO_CODE = np.full(256, OTHER, dtype=np.int8)
 for i, b in enumerate("ACGTN"):
     ASCII_TO_CODE[ord(b)] = i
-    ASCII_TO_CODE[ord(b.lower())] = i
 
 CODE_TO_CHAR = np.array(list("ACGTN?."), dtype="U1")
 

@@ -42,17 +42,15 @@ struct LookupTables {
       int q = i - 33;
       phred[i] = static_cast<int8_t>(q < 0 ? 0 : (q > 93 ? 93 : q));
     }
+    // Uppercase only, matching dna.ASCII_TO_CODE: the reference compares
+    // reads as-is, so lowercase bases never match and encode as OTHER.
     const char* bases = "ACGTN";
     for (int i = 0; i < 5; ++i) {
       base[static_cast<unsigned char>(bases[i])] = static_cast<int8_t>(i);
-      base[static_cast<unsigned char>(bases[i] + 32)] = static_cast<int8_t>(i);
     }
     for (int i = 0; i < 4; ++i) {
       two_bit[static_cast<unsigned char>(bases[i])] = static_cast<uint8_t>(i);
-      two_bit[static_cast<unsigned char>(bases[i] + 32)] =
-          static_cast<uint8_t>(i);
       is_exc[static_cast<unsigned char>(bases[i])] = 0;
-      is_exc[static_cast<unsigned char>(bases[i] + 32)] = 0;
     }
   }
 };

@@ -276,3 +276,22 @@ def test_tie_drop(example_scheme):
     assert o.outcome == "barcode"
     assert not res["valid"][0]
     assert np.asarray(res["counters"])[stats.BARCODE] == 1
+
+
+def test_lowercase_read_rejected_like_reference(example_scheme, rng):
+    """The reference compares read sequences as-is against uppercased
+    constants / [AGCT] / candidate strings (parse.rs:92, 569), so
+    lowercase bases never match.  The tensor path encodes them as OTHER
+    and must classify identically to the oracle."""
+    plan, oracle, conv = build_plan(example_scheme)
+    clean = simulate.make_read(
+        rng, example_scheme, SAMPLES[0], [BC1[0], BC2[0], BC3[0]]
+    )
+    reads = [clean, clean.lower(), clean[:6] + clean[6:].lower()]
+    quals = ["I" * len(r) for r in reads]
+    res = classify_device(plan, reads, quals)
+    for i, r in enumerate(reads):
+        o = oracle.decode(r, quals[i])
+        assert bool(res["valid"][i]) == (o.outcome == "matched"), (i, o.outcome)
+    assert res["valid"][0]
+    assert not res["valid"][1]

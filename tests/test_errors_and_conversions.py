@@ -78,3 +78,14 @@ def test_counted_file_bad_integer(tmp_path):
     conv = BarcodeConversions()
     with pytest.raises(ValueError, match="other than an integer"):
         conv.load_counted_file(str(p), 1, [7])
+
+
+def test_conversion_barcode_wrong_length_raises(tmp_path):
+    """A conversion-file barcode whose length differs from the scheme slot
+    is a malformed file: silently padding/truncating it would make it
+    permanently unmatchable, so loading must fail loudly."""
+    p = tmp_path / "bc.csv"
+    p.write_text("Barcode,ID,Num\nCAGA,x,1\n")
+    conv = BarcodeConversions()
+    with pytest.raises(ValueError, match="4nt but the scheme slot is 7nt"):
+        conv.load_counted_file(str(p), 1, [7])
