@@ -37,13 +37,38 @@ def read_fastq_packed_parallel(
     n_threads: int = 0,
     queue_depth: int = 4,
     start_offset: int = 0,
+    byte_range: tuple[int, int] | None = None,
 ) -> Iterator[PackedReads]:
     """Yields PackedReads from T parallel range readers (plain FASTQ) or
-    one background reader (gzip / tiny files / resume)."""
+    one background reader (gzip / tiny files / resume).
+
+    ``byte_range`` restricts reading to a record-aligned [start, end)
+    slice of a plain FASTQ (the per-host share of a multi-host run);
+    thread sub-ranges are carved inside it."""
     if n_threads <= 0:
         n_threads = min(4, os.cpu_count() or 1)
     gz = path.endswith(".gz")
     size = os.path.getsize(path)
+    if byte_range is not None:
+        if gz:
+            raise ValueError(
+                "byte-range ingest requires a plain (non-gzip) FASTQ"
+            )
+        r_start, r_end = byte_range
+        if r_end <= r_start:
+            return
+        if n_threads > 1 and (r_end - r_start) > (64 << 20):
+            ranges = [
+                dist.sub_byte_range(path, r_start, r_end, t, n_threads)
+                for t in range(n_threads)
+            ]
+            ranges = [(s, e) for s, e in ranges if e > s]
+        else:
+            ranges = [(r_start, r_end)]
+        yield from _from_ranges(
+            path, ranges, min_width, batch_reads, with_quals, queue_depth
+        )
+        return
     if gz and n_threads > 1 and start_offset == 0 and size > (8 << 20):
         from ngs_barcode_count_tpu.io import bgzf
 
@@ -126,6 +151,58 @@ def read_fastq_packed_parallel(
     finally:
         stop.set()
         # drain so producers blocked on put() can exit
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+
+
+def _from_ranges(
+    path: str,
+    ranges: list[tuple[int, int]],
+    min_width: int,
+    batch_reads: int,
+    with_quals: bool,
+    queue_depth: int,
+) -> Iterator[PackedReads]:
+    """Producer pool over explicit byte ranges (the byte_range path)."""
+    q: queue.Queue = queue.Queue(maxsize=queue_depth)
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def produce(start: int, end: int, check_format: bool):
+        try:
+            for pb in _packed_range_iter(
+                path, start, end, min_width, batch_reads, with_quals,
+                check_format,
+            ):
+                if stop.is_set():
+                    return
+                q.put(pb)
+        except BaseException as e:
+            errors.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    threads = [
+        threading.Thread(target=produce, args=(s, e, i == 0), daemon=True)
+        for i, (s, e) in enumerate(ranges)
+    ]
+    for t in threads:
+        t.start()
+    live = len(threads)
+    try:
+        while live:
+            item = q.get()
+            if item is _SENTINEL:
+                live -= 1
+                continue
+            yield item
+        if errors:
+            raise errors[0]
+    finally:
+        stop.set()
         try:
             while True:
                 q.get_nowait()

@@ -74,15 +74,32 @@ def align_to_record(path: str, offset: int, window: int = 1 << 20) -> int:
     )
 
 
+def sub_byte_range(
+    path: str, start: int, end: int, i: int, n: int
+) -> tuple[int, int]:
+    """The i-th of n record-aligned slices of [start, end) in a plain
+    FASTQ.  Cut points align identically from both sides, so slice i's
+    end equals slice i+1's start and every record lands in exactly one
+    slice."""
+    size = os.path.getsize(path)
+    raw_s = start + (end - start) * i // n
+    raw_e = start + (end - start) * (i + 1) // n
+    s = start if raw_s <= start else align_to_record(path, raw_s)
+    if raw_e >= end:
+        e = end
+    elif raw_e >= size:
+        e = size
+    else:
+        e = align_to_record(path, raw_e)
+    return min(s, end), min(e, end)
+
+
 def host_byte_range(path: str, host_id: int, n_hosts: int) -> tuple[int, int]:
     """This host's [start, end) slice of a plain FASTQ, record-aligned.
     A record belongs to the host whose range contains its first byte."""
-    size = os.path.getsize(path)
-    raw_start = size * host_id // n_hosts
-    raw_end = size * (host_id + 1) // n_hosts
-    start = align_to_record(path, raw_start)
-    end = align_to_record(path, raw_end) if raw_end < size else size
-    return start, end
+    return sub_byte_range(
+        path, 0, os.path.getsize(path), host_id, n_hosts
+    )
 
 
 def read_fastq_range(

@@ -142,7 +142,12 @@ def decode_batch_sharded(
     )
     const_ok = len_ok & (has_exact | repair_ok)
     offset = jnp.where(has_exact, exact_off, rep_off)
-    qual_start = jnp.where(has_exact, exact_off, 0)
+    # Mirror ops.decode.decode_batch: reference quirk reads quality from 0
+    # for repaired reads; --fix-quirks reads it from the matched window.
+    if plan.fix_quirks:
+        qual_start = offset
+    else:
+        qual_start = jnp.where(has_exact, exact_off, 0)
 
     if plan.min_quality > 0.0:
         lowq = const_ok & dec.low_quality_mask(plan, quals, qual_start)
@@ -307,6 +312,174 @@ class ShardedDenseEngine:
             )
 
         return bound_step
+
+    def make_packed_step(self, width: int, with_quals: bool):
+        """Wire-format sharded step: 2-bit packed rows shard over 'data',
+        each device unpacks its shard (with its own rebased exception
+        bucket) and decodes at local kernel speed — the fused Pallas
+        kernel on TPU (n_model == 1), the model-parallel XLA path
+        otherwise.  Count state stays sharded; merging remains the one
+        psum at flush.  This is what makes multi-chip run at single-chip
+        kernel speed instead of falling back to the unpacked XLA path.
+        """
+        import os
+
+        plan = self.plan
+        mesh = self.mesh
+        n_data = self.n_data
+        cand_arrays = self._cand_device_arrays()
+        totals = self._cand_totals()
+        cand_specs = jax.tree.map(
+            lambda x: P("model", None, None), cand_arrays
+        )
+
+        use_pallas = False
+        if self.n_model == 1 and jax.devices()[0].platform != "cpu":
+            on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+            default = "xla" if on_relay else "pallas"
+            use_pallas = (
+                os.environ.get("NGS_DECODE_KERNEL", default) == "pallas"
+            )
+        decode_kernel = None
+        if use_pallas:
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+            try:
+                decode_kernel = pdec.build_pallas_decode(plan, width)
+            except Exception:
+                decode_kernel = None
+
+        def local_step(counts, counters, cand, packed, lengths, exc_idx,
+                       exc_val, n_reads, quals):
+            # inside shard_map: packed [B/n_data, W/4], exc_* [1, cap]
+            # rebased to the local flat index space, n_reads [1] global.
+            from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+            rows = packed.shape[0]
+            bases = unpack_bases(packed, exc_idx[0], exc_val[0], width)
+            data_rank = jax.lax.axis_index("data")
+            local_n = jnp.clip(n_reads[0] - data_rank * rows, 0, rows)
+            mask = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0).squeeze(-1)
+                < local_n
+            )
+            on_first = jax.lax.axis_index("model") == 0
+            if decode_kernel is not None:
+                from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+                flat, status = decode_kernel(
+                    bases, lengths.astype(jnp.int32), local_n[None],
+                    *(() if quals is None else (quals,)),
+                )
+                valid = status == pdec.ST_VALID
+                counts = counts.at[0, jnp.where(valid, flat, 0)].add(
+                    valid.astype(counts.dtype)
+                )
+                add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+                add = add.at[stats.MATCHED].set(jnp.sum(valid))
+                add = add.at[stats.CONSTANT_REGION].set(
+                    jnp.sum(status == pdec.ST_CONST)
+                )
+                add = add.at[stats.SAMPLE_BARCODE].set(
+                    jnp.sum(status == pdec.ST_SAMPLE)
+                )
+                add = add.at[stats.BARCODE].set(
+                    jnp.sum(status == pdec.ST_BARCODE)
+                )
+                add = add.at[stats.LOW_QUALITY].set(
+                    jnp.sum(status == pdec.ST_LOWQ)
+                )
+                counters = counters + add[None, :]
+                return counts, counters
+            q = (
+                quals
+                if quals is not None
+                else jnp.zeros((rows, 1), jnp.int8)
+            )
+            merged = {}
+            if "sample" in cand:
+                oh, nm = cand["sample"]
+                merged["sample"] = (oh[0], nm[0], totals["sample"])
+            if "counted" in cand:
+                merged["counted"] = [
+                    (oh[0], nm[0], totals["counted"][i])
+                    for i, (oh, nm) in enumerate(cand["counted"])
+                ]
+            valid, sample_idx, combo_flat, batch_counters = (
+                decode_batch_sharded(
+                    plan, merged, bases, q, lengths, mask
+                )
+            )
+            flat = sample_idx * plan.n_combos + combo_flat
+            flat = jnp.where(valid, flat, 0)
+            inc = (valid & on_first).astype(counts.dtype)
+            counts = counts.at[0, flat].add(inc)
+            counters = counters + jnp.where(
+                on_first, batch_counters, 0
+            )[None, :]
+            return counts, counters
+
+        qual_spec = P("data", None) if with_quals else P()
+        step = jax.jit(
+            jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None),   # counts
+                    P("data", None),   # counters
+                    cand_specs,
+                    P("data", None),   # packed
+                    P("data"),         # lengths
+                    P("data", None),   # exc_idx (per-shard buckets)
+                    P("data", None),   # exc_val
+                    P(),               # n_reads (replicated)
+                    qual_spec,
+                ),
+                out_specs=(P("data", None), P("data", None)),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1),
+        )
+
+        def bound_step(counts, counters, packed, lengths, exc_idx, exc_val,
+                       n_reads, quals=None):
+            return step(
+                counts, counters, cand_arrays, packed, lengths, exc_idx,
+                exc_val, n_reads, quals,
+            )
+
+        return bound_step
+
+    def split_exceptions(self, exc_idx: np.ndarray, exc_val: np.ndarray,
+                         rows: int, width: int):
+        """Host-side: bucket the batch-flat exception list per data shard,
+        rebasing indices to each shard's local flat space.  Returns
+        ([n_data, cap] int32 padded with -1, [n_data, cap] int8); cap is
+        bucketed to powers of two to bound recompiles."""
+        n_data = self.n_data
+        local_rows = rows // n_data
+        span = local_rows * width
+        live = exc_idx >= 0
+        idx = exc_idx[live]
+        val = exc_val[live]
+        shard = idx // span
+        local = idx - shard * span
+        counts = np.bincount(shard, minlength=n_data)
+        cap = 64
+        m = int(counts.max()) if len(counts) else 0
+        while cap < m:
+            cap *= 2
+        out_idx = np.full((n_data, cap), -1, np.int32)
+        out_val = np.zeros((n_data, cap), np.int8)
+        order = np.argsort(shard, kind="stable")
+        pos = 0
+        for s in range(n_data):
+            c = counts[s]
+            sel = order[pos : pos + c]
+            out_idx[s, :c] = local[sel]
+            out_val[s, :c] = val[sel]
+            pos += c
+        return out_idx, out_val
 
     @partial(jax.jit, static_argnums=0)
     def merge(self, counts, counters):

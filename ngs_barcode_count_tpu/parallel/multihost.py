@@ -1,16 +1,29 @@
 """Multi-host run loop (C15): every host executes this same program
-under ``jax.distributed``; the mesh spans all hosts' devices.
+under ``jax.distributed``.
 
-Per-host ingest: each host streams only its record-aligned byte range of
-the FASTQ (distributed.host_byte_range) and feeds its local shard of the
-global batch via ``jax.make_array_from_process_local_data``.  Steps run
-in lockstep — a host whose range is exhausted contributes empty batches
-until every host is done (liveness decided by a tiny process allgather
-per round), then counts and counters psum-merge once at flush.
+Design: barcode counting is embarrassingly data-parallel with a tiny
+mergeable state, so each host runs the full single-host fast path —
+packed wire ingest over its record-aligned byte range, the fused Pallas
+kernel (or XLA path) over its LOCAL device mesh — with ZERO cross-host
+traffic during the loop.  The only collectives are at flush:
 
-Single-host fallbacks make every function exercisable in tests; true
-multi-process execution needs ``--num-hosts`` + ``--coordinator`` on a
-real pod slice.
+- dense mode: one allgather-sum of the [n_flat] count tensor + the [6]
+  counter vector;
+- keyed (raw-DNA) mode: allgather of per-host (key, count) arrays,
+  summed by key on every host;
+- random mode: each host accumulates distinct (sample, combo, random)
+  triples (``CountAccumulator(triple_mode=True)``); the allgather-union
+  of triple sets IS the global PCR dedup (exact — reference semantics
+  info.rs:770-801), counts per (sample, combo) = distinct triples in the
+  group, duplicates = global valid reads - distinct triples.
+
+This replaces round 1's lockstep global-mesh loop, which fed unpacked
+int8 through the slow XLA path and required cross-host batch-shape
+agreement; here each host's width/batching is private.
+
+All hosts compute identical merged results; host 0 writes outputs
+(runner.run).  Keys are exact 3-bit packings, so raw-DNA slots longer
+than 21nt (host-local interning) are rejected up front.
 """
 
 from __future__ import annotations
@@ -18,100 +31,173 @@ from __future__ import annotations
 import numpy as np
 
 import jax
-from jax.sharding import NamedSharding, PartitionSpec as P
 
+from ngs_barcode_count_tpu import stats
 from ngs_barcode_count_tpu.parallel import distributed as dist
-from ngs_barcode_count_tpu.parallel import mesh as pmesh
 
 
-def all_hosts_done(local_done: bool) -> bool:
-    """True only when every process reports done."""
-    if jax.process_count() == 1:
-        return local_done
+def _allgather_u32(arr: np.ndarray) -> np.ndarray:
+    """process_allgather of a uint32 array -> [n_hosts, ...].  uint32
+    only: uint64 would silently truncate under jax's default x64-off."""
     from jax.experimental import multihost_utils
 
-    flags = multihost_utils.process_allgather(
-        np.array([1 if local_done else 0], np.int32)
+    return np.asarray(
+        multihost_utils.process_allgather(np.ascontiguousarray(arr))
     )
-    return bool(np.asarray(flags).min() == 1)
 
 
-def run_multihost_dense(config, plan, scheme, n_model: int = 1):
-    """Decode config.fastq across all hosts; returns (counts np,
-    counters np, local_reads).
+def allgather_sum(vec: np.ndarray) -> np.ndarray:
+    """Element-wise sum of a small int64 vector across hosts."""
+    if jax.process_count() == 1:
+        return np.asarray(vec, np.int64)
+    v = np.asarray(vec, np.int64)
+    lo = (v & 0xFFFFFFFF).astype(np.uint32)
+    hi = (v >> 32).astype(np.uint32)
+    all_lo = _allgather_u32(lo).astype(np.int64)
+    all_hi = _allgather_u32(hi).astype(np.int64)
+    return (all_lo + (all_hi << 32)).sum(axis=0)
 
-    The caller (runner.run) uses it when jax.process_count() > 1; counts
-    come back fully merged and identical on every host.
-    """
-    n_total_devices = len(jax.devices())
-    n_data = n_total_devices // n_model
-    mesh = pmesh.make_mesh(n_data, n_model)
-    engine = pmesh.ShardedDenseEngine.build(plan, mesh)
-    counts, counters = engine.initial_state()
-    step = engine.make_step()
 
-    host_id = jax.process_index()
+def allgather_rows(rows: np.ndarray) -> np.ndarray:
+    """Concatenate per-host [n_i, k] uint64 key arrays across hosts
+    (padded allgather; uneven n_i handled by a size exchange first)."""
+    rows = np.ascontiguousarray(rows, dtype=np.uint64)
+    if jax.process_count() == 1:
+        return rows
     n_hosts = jax.process_count()
-    start, end = dist.host_byte_range(config.fastq, host_id, n_hosts)
-
-    # per-host rows of the global batch: global B = batch_size, each host
-    # owns batch_size / n_hosts rows
-    if config.batch_size % n_hosts:
-        raise ValueError("batch size must divide evenly across hosts")
-    local_rows = config.batch_size // n_hosts
-
-    from ngs_barcode_count_tpu.io import batcher as batcher_mod
-
-    sh2 = NamedSharding(mesh, P("data", None))
-    sh1 = NamedSharding(mesh, P("data"))
-
-    def globalize(bases, quals, lengths, mask):
-        gb = (config.batch_size, bases.shape[1])
-        return (
-            jax.make_array_from_process_local_data(sh2, bases, gb),
-            jax.make_array_from_process_local_data(sh2, quals, gb),
-            jax.make_array_from_process_local_data(
-                sh1, lengths, (config.batch_size,)
-            ),
-            jax.make_array_from_process_local_data(
-                sh1, mask, (config.batch_size,)
-            ),
-        )
-
-    it = batcher_mod.batches(
-        dist.read_fastq_range(
-            config.fastq, start, end, min_width=scheme.length,
-            batch_reads=local_rows,
-        )
-        if end > start
-        else iter(()),
-        batch_size=local_rows,
-        min_width=scheme.length,
+    k = rows.shape[1]
+    sizes = allgather_sum(
+        np.eye(n_hosts, dtype=np.int64)[jax.process_index()]
+        * rows.shape[0]
     )
-    total_local = 0
-    width = None
-    done = False
-    while True:
-        batch = next(it, None)
-        if batch is None:
-            done = True
-            w = width or -(-scheme.length // 32) * 32
-            import numpy as _np
+    m = int(sizes.max()) if len(sizes) else 0
+    if m == 0:
+        return rows[:0]
+    pad = np.zeros((m, k), np.uint64)
+    pad[: rows.shape[0]] = rows
+    gathered = _allgather_u32(
+        pad.view(np.uint32).reshape(m, 2 * k)
+    )  # [n_hosts, m, 2k]
+    out = []
+    for h in range(n_hosts):
+        nh = int(sizes[h])
+        out.append(
+            gathered[h, :nh].astype(np.uint32).reshape(nh, 2 * k)
+            .view(np.uint64)
+        )
+    return np.concatenate(out, axis=0)
 
-            bases = _np.full((local_rows, w), 6, _np.int8)
-            quals = _np.zeros((local_rows, w), _np.int8)
-            lengths = _np.zeros(local_rows, _np.int32)
-            mask = _np.zeros(local_rows, bool)
-        else:
-            width = batch.bases.shape[1]
-            bases, quals, lengths, mask = (
-                batch.bases, batch.quals, batch.lengths, batch.read_mask,
+
+def merge_accumulator(acc, plan) -> None:
+    """Flush-time cross-host merge, in place: afterwards the accumulator
+    looks exactly like a single-host run over the whole file, so
+    runner.results_view / output writers need no changes.  Collective:
+    every host must call this (same number of allgathers everywhere)."""
+    counters = allgather_sum(acc.seq_errors.counters)
+
+    if acc.dense is not None:
+        counts = allgather_sum(
+            np.asarray(acc.dense_state, np.int64).reshape(-1)
+        )
+        acc.dense_state = counts.astype(np.int64)
+        acc.seq_errors.counters = counters
+        return
+
+    keys, totals = acc.keyed._consolidate()
+    # a host that saw zero reads holds a [0, 1] placeholder; widen it to
+    # the scheme's true key width so row shapes agree across hosts
+    n_cols = 1 + (
+        1 if plan.dense_counted else len(plan.scheme.barcode_slots)
+    )
+    if acc.triple_mode:
+        n_cols += 1
+    if keys.shape[1] != n_cols:
+        assert len(totals) == 0, "key width mismatch on non-empty store"
+        keys = np.zeros((0, n_cols), np.uint64)
+        totals = np.zeros(0, np.int64)
+    if acc.triple_mode:
+        # union of (key..., random) triples == global PCR dedup
+        triples = allgather_rows(keys.astype(np.uint64))
+        distinct = (
+            np.unique(triples, axis=0) if len(triples) else triples
+        )
+        n_distinct = len(distinct)
+        total_valid = int(allgather_sum(
+            np.array([acc.triple_valid], np.int64)
+        )[0])
+        counters[stats.MATCHED] = n_distinct
+        counters[stats.DUPLICATES] = total_valid - n_distinct
+        merged: dict[tuple[int, ...], int] = {}
+        if n_distinct:
+            group_keys, group_counts = np.unique(
+                distinct[:, :-1], axis=0, return_counts=True
             )
-            total_local += batch.n_reads
-        if all_hosts_done(done):
-            break
-        gb = globalize(bases, quals, lengths, mask)
-        counts, counters = step(counts, counters, *gb)
+            merged = {
+                tuple(int(v) for v in row): int(c)
+                for row, c in zip(group_keys, group_counts)
+            }
+        acc.keyed.counts = merged
+        acc.seq_errors.counters = counters
+        return
 
-    mc, mctr = engine.merge(counts, counters)
-    return np.asarray(mc), np.asarray(mctr), total_local
+    # keyed (raw-DNA) mode: concatenate (key, count) rows, sum by key
+    rows = np.concatenate(
+        [keys.astype(np.uint64), totals.astype(np.uint64)[:, None]], axis=1
+    ) if len(totals) else np.zeros((0, keys.shape[1] + 1), np.uint64)
+    all_rows = allgather_rows(rows)
+    merged = {}
+    for row in all_rows:
+        key = tuple(int(v) for v in row[:-1])
+        merged[key] = merged.get(key, 0) + int(row[-1])
+    acc.keyed.counts = merged
+    acc.seq_errors.counters = counters
+
+
+def run_multihost(config, plan, scheme, conv):
+    """Per-host local decode over this host's byte range + flush merge.
+    Returns (acc with globally-merged state, total_reads)."""
+    from ngs_barcode_count_tpu import runner as runner_mod
+
+    if config.fastq.endswith(".gz"):
+        raise ValueError(
+            "multi-host runs require a plain FASTQ (gzip streams cannot "
+            "be range-sharded); unzip and rerun"
+        )
+    if not plan.dense_counts:
+        long_slots = [
+            s.length for s in scheme.barcode_slots if not plan.dense_counted
+        ]
+        if scheme.sample_slot is not None and not plan.dense_sample:
+            long_slots.append(scheme.sample_slot.length)
+        if scheme.random_slot is not None:
+            long_slots.append(scheme.random_slot.length)
+        if long_slots and max(long_slots) > 21:
+            raise ValueError(
+                "multi-host keyed runs support raw-DNA slots up to 21nt "
+                "(longer slots intern host-locally and cannot merge)"
+            )
+    host = jax.process_index()
+    n_hosts = jax.process_count()
+    start, end = dist.host_byte_range(config.fastq, host, n_hosts)
+
+    local = jax.local_devices()
+    n_dev = config.n_devices or len(local)
+    if n_dev > len(local):
+        raise ValueError(
+            f"--devices {n_dev} but host {host} has {len(local)} local "
+            "devices (the flag is per-host under multi-host runs)"
+        )
+    acc = runner_mod.CountAccumulator(
+        plan, conv, n_devices=n_dev, allow_bitmap=False, devices=local,
+        triple_mode=plan.scheme.random_barcode,
+        n_model=getattr(config, "model_shards", 1),
+    )
+    local_reads = runner_mod.decode_file(
+        config, plan, scheme, acc, n_devices=n_dev, byte_range=(start, end)
+    )
+    acc.finalize()
+    total_reads = int(
+        allgather_sum(np.array([local_reads], np.int64))[0]
+    )
+    merge_accumulator(acc, plan)
+    return acc, total_reads

@@ -109,10 +109,20 @@ class CountAccumulator:
         conversions: BarcodeConversions,
         n_devices: int = 1,
         allow_bitmap: bool = True,
+        devices=None,
+        triple_mode: bool = False,
+        n_model: int = 1,
     ):
         self.plan = plan
         self.conv = conversions
         self.n_devices = n_devices
+        self.devices = devices
+        # Multi-host random mode: accumulate distinct (sample, combo,
+        # random) triples per host; the flush-time union across hosts is
+        # the global dedup (multihost.merge_accumulator).
+        self.triple_mode = triple_mode
+        self.triple_valid = 0
+        self.n_model = n_model
         self.shardings = None
         if n_devices > 1:
             # keyed/bitmap modes scale via jit auto-SPMD: inputs shard
@@ -125,7 +135,8 @@ class CountAccumulator:
                 PartitionSpec as P,
             )
 
-            mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+            devs = devices if devices is not None else jax.devices()
+            mesh = Mesh(np.array(devs[:n_devices]), ("data",))
             self.shardings = {
                 "rows2": NamedSharding(mesh, P("data", None)),
                 "rows1": NamedSharding(mesh, P("data")),
@@ -165,7 +176,14 @@ class CountAccumulator:
             if n_devices > 1:
                 from ngs_barcode_count_tpu.parallel import mesh as pmesh
 
-                mesh = pmesh.make_mesh(n_devices, 1)
+                if n_devices % n_model:
+                    raise ValueError(
+                        f"--devices {n_devices} not divisible by "
+                        f"--model-shards {n_model}"
+                    )
+                mesh = pmesh.make_mesh(
+                    n_devices // n_model, n_model, self.devices
+                )
                 self.engine = pmesh.ShardedDenseEngine.build(plan, mesh)
                 self.dense_state, self.dense_counters = (
                     self.engine.initial_state()
@@ -176,7 +194,9 @@ class CountAccumulator:
                 self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
         else:
             self.keyed = KeyedCounts()
-            if plan.scheme.random_barcode:
+            if plan.scheme.random_barcode and not triple_mode:
+                # triple mode keeps whole triples in KeyedCounts instead;
+                # the cross-host union at flush is the dedup
                 self.dedup = RandomDedup()
 
     def _pallas_step_for(self, width: int):
@@ -267,13 +287,38 @@ class CountAccumulator:
             self._len_cache[key] = dev
         return dev
 
+    def _engine_packed_step_for(self, width: int, with_quals: bool):
+        if not hasattr(self, "_engine_packed_steps"):
+            self._engine_packed_steps = {}
+        key = (width, with_quals)
+        if key not in self._engine_packed_steps:
+            self._engine_packed_steps[key] = self.engine.make_packed_step(
+                width, with_quals
+            )
+        return self._engine_packed_steps[key]
+
     def step_packed(self, pb) -> None:
         """Wire-format fast path (dense mode): 2-bit packed bases go
         straight to the device; Phred lanes ship only when the quality
         gate is on.  Decode runs through the fused Pallas kernel on TPU
-        (5x the XLA path) or the XLA path elsewhere."""
+        (5x the XLA path) or the XLA path elsewhere.  Multi-device dense
+        runs keep the same wire format: rows shard over the mesh's data
+        axis and each device runs the kernel on its shard."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        if self.engine is not None:
+            step = self._engine_packed_step_for(
+                pb.width, pb.quals is not None
+            )
+            exc_i, exc_v = self.engine.split_exceptions(
+                np.asarray(pb.exc_idx), np.asarray(pb.exc_val),
+                pb.packed.shape[0], pb.width,
+            )
+            self.dense_state, self.dense_counters = step(
+                self.dense_state, self.dense_counters, pb.packed,
+                np.asarray(pb.lengths), exc_i, exc_v, n, pb.quals,
+            )
+            return
         pb.lengths = self._lengths_dev(pb.lengths)
         self._shard_packed(pb)
         if self.bitmap is not None:
@@ -449,6 +494,11 @@ class CountAccumulator:
     def _accumulate_keyed(self, out, key_cols, rnd) -> None:
         self.seq_errors.add_vector(np.asarray(out["counters"]))
         valid = np.asarray(out["valid"])
+        if self.triple_mode and rnd is not None:
+            # MATCHED/DUPLICATES stay 0 until the cross-host triple union
+            self.triple_valid += int(valid.sum())
+            self.keyed.add_batch(key_cols + [rnd], valid)
+            return
         if self.dedup is not None and rnd is not None:
             new_mask = self.dedup.observe(key_cols + [rnd], valid)
             n_valid = int(valid.sum())
@@ -671,6 +721,7 @@ def decode_file(
     acc: CountAccumulator,
     n_devices: int = 1,
     limit_batches: int | None = None,
+    byte_range: tuple[int, int] | None = None,
 ) -> int:
     """Stream config.fastq through the accumulator; returns total reads.
 
@@ -684,8 +735,7 @@ def decode_file(
     total_reads = 0
     n_batches = 0
     native_ok = (
-        acc.engine is None
-        and native_mod.available()
+        native_mod.available()
         and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
     )
     use_packed = (plan.dense_counts or acc.bitmap is not None) and native_ok
@@ -704,9 +754,16 @@ def decode_file(
         config.checkpoint_interval_s > 0
         and use_packed
         and acc.bitmap is None
+        and acc.engine is None  # sharded state shape is mesh-dependent
     )
+    if byte_range is not None and not native_ok:
+        raise RuntimeError(
+            "byte-range (multi-host) ingest requires the native codec"
+        )
     start_offset = 0
     if config.resume:
+        if byte_range is not None:
+            raise ValueError("resume is not supported on multi-host runs")
         if not use_packed:
             raise ValueError(
                 "resume requires the dense-mode native path "
@@ -739,6 +796,7 @@ def decode_file(
             with_quals=plan.min_quality > 0.0,
             start_offset=start_offset,
             n_threads=n_threads,
+            byte_range=byte_range,
         ):
             acc.step_packed(pb)
             total_reads += pb.n_reads
@@ -770,6 +828,7 @@ def decode_file(
             min_width=min_width,
             batch_reads=config.batch_size,
             with_quals=plan.min_quality > 0.0,
+            byte_range=byte_range,
         ):
             acc.step_packed_keyed(pb)
             total_reads += pb.n_reads
@@ -781,8 +840,22 @@ def decode_file(
                     f"Total sequences:             {total_reads:,}\r", end=""
                 )
     else:
+        if byte_range is not None:
+            from ngs_barcode_count_tpu.parallel import distributed as dist
+
+            chunks = (
+                dist.read_fastq_range(
+                    config.fastq, byte_range[0], byte_range[1],
+                    min_width=min_width, batch_reads=config.batch_size,
+                )
+                if byte_range[1] > byte_range[0]
+                else iter(())
+            )
+        else:
+            chunks = encoded_chunks(config.fastq, min_width,
+                                    config.batch_size)
         for batch in batcher_mod.batches(
-            encoded_chunks(config.fastq, min_width, config.batch_size),
+            chunks,
             batch_size=config.batch_size,
             min_width=min_width,
         ):
@@ -827,26 +900,11 @@ def run(config: RunConfig) -> RunResult:
     import jax
 
     if jax.process_count() > 1:
-        if not plan.dense_counts:
-            raise NotImplementedError(
-                "multi-host runs currently support dense-count mode"
-            )
         from ngs_barcode_count_tpu.parallel import multihost
 
         t0 = time.perf_counter()
-        counts_np, counters_np, local_reads = multihost.run_multihost_dense(
-            config, plan, scheme
-        )
+        acc, total_reads = multihost.run_multihost(config, plan, scheme, conv)
         compute_s = time.perf_counter() - t0
-        acc = CountAccumulator(plan, conv)
-        acc.dense_state = counts_np
-        acc.dense_counters = None
-        acc.seq_errors.add_vector(counters_np)
-        from jax.experimental import multihost_utils as _mh
-
-        total_reads = int(
-            np.sum(_mh.process_allgather(np.array([local_reads])))
-        )
         if jax.process_index() != 0:
             # only host 0 writes outputs
             return RunResult(

@@ -151,3 +151,55 @@ def test_model_parallel_with_n_candidates(eight_devices):
     assert ok[0] and cands[idx[0]] == "AANAAA"
     assert ok[1] and cands[idx[1]] == "TTTTNT"
     assert not ok[2]
+
+
+def test_sharded_fix_quirks_quality_parity(rng, eight_devices):
+    """--fix-quirks + --min-quality on the sharded engine must equal the
+    single-device fix-quirks path (round 1 silently kept the quirk
+    quality offset in decode_batch_sharded)."""
+    import jax.numpy as jnp
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from tests.conftest import EXAMPLE_SCHEME
+    from tests.test_fix_quirks import build_plan_fix
+
+    scheme = parse_scheme_text(EXAMPLE_SCHEME.replace("(8)\n", ""))
+    plan, _, _ = build_plan_fix(scheme, min_quality=30.0, fix_quirks=True)
+    assert plan.dense_counts
+
+    # Targeted read: forced repair (2 constant errors) behind a low-quality
+    # left flank.  Quirk semantics read quality from offset 0 (flank ->
+    # low quality); fix-quirks reads from the matched window (all 'I' ->
+    # passes).  The old sharded bug would flip this read's outcome.
+    flank = 8
+    read = simulate.make_read(
+        rng, scheme, SAMPLES[0], [BC1[0], BC2[0], BC3[0]],
+        flank_left=flank, flank_right=0, n_errors=2,
+    )
+    qual_t = "!" * flank + "I" * (len(read) - flank)
+    # plus a batch of noisy-quality reads for breadth
+    reads = [read] + gen_reads(rng, scheme, 127, err_range=(0, 6))
+    quals = [qual_t]
+    for r in reads[1:]:
+        q = rng.integers(20, 41, len(r)) + 33
+        quals.append("".join(chr(int(x)) for x in q))
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+
+    counts0 = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+    ctr0 = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    c, ctr = dec.dense_count_step(
+        plan, counts0, ctr0, bases, quality, lengths, mask
+    )
+    ref_counts, ref_counters = np.asarray(c), np.asarray(ctr)
+    # the targeted read must be matched under fix-quirks semantics
+    out = dec.keyed_decode_step(plan, bases, quality, lengths, mask)
+    assert bool(np.asarray(out["valid"])[0])
+
+    mesh = pmesh.make_mesh(4, 2, eight_devices)
+    eng = pmesh.ShardedDenseEngine.build(plan, mesh)
+    counts, counters = eng.initial_state()
+    step = eng.make_step()
+    sb, sq, sl, sm = eng.shard_batch(bases, quality, lengths, mask)
+    counts, counters = step(counts, counters, sb, sq, sl, sm)
+    mc, mctr = eng.merge(counts, counters)
+    np.testing.assert_array_equal(np.asarray(mc), ref_counts)
+    np.testing.assert_array_equal(np.asarray(mctr), ref_counters)

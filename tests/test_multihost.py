@@ -1,42 +1,187 @@
-"""Single-process exercise of the multi-host run loop: with
-process_count()==1 the lockstep loop must equal the plain dense run."""
+"""Multi-host run loop: per-host local decode + flush-time merge.
+
+Two layers of coverage:
+
+- single-process (process_count() == 1): ``run_multihost`` must equal
+  the plain single-host run in every mode (dense / raw-DNA keyed /
+  random triple union), since the merge is then an identity;
+- true 2-process ``jax.distributed`` over CPU (subprocess coordinator +
+  two workers, Gloo collectives): host 0's written CSV outputs over a
+  split FASTQ must equal the single-process run's — covering uneven
+  byte ranges, the padded allgathers, and the cross-host triple dedup.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
 
 import numpy as np
 import pytest
 
 import jax
 
+from ngs_barcode_count_tpu.io import native
 from ngs_barcode_count_tpu.parallel import multihost
-from ngs_barcode_count_tpu.runner import CountAccumulator, decode_file, setup
+from ngs_barcode_count_tpu.runner import CountAccumulator, decode_file, run, setup
 
-from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+from tests.test_end_to_end import (
+    SCHEME_RANDOM_TEXT,
+    gen_fastq,
+    write_inputs,
+    _mk_config,
+)
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec not built"
+)
 
 
-def test_all_hosts_done_single():
-    assert multihost.all_hosts_done(True) is True
-    assert multihost.all_hosts_done(False) is False
+def _plain_acc(cfg):
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv)
+    n = decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    return acc, n, plan, scheme, conv
 
 
-def test_multihost_loop_equals_plain(tmp_path, rng):
-    if len(jax.devices()) < 2:
-        pytest.skip("needs multiple virtual devices")
+@pytest.mark.parametrize("scheme_kw", ["dense", "random", "raw"])
+def test_run_multihost_single_process_equals_plain(tmp_path, rng, scheme_kw):
+    if scheme_kw == "raw":
+        paths = write_inputs(tmp_path, with_files=False)
+    elif scheme_kw == "random":
+        paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    else:
+        paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 400, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+
+    acc1, n1, plan, scheme, conv = _plain_acc(cfg)
+    acc_mh, n_mh = multihost.run_multihost(cfg, plan, scheme, conv)
+    assert n1 == n_mh == 400
+    np.testing.assert_array_equal(
+        acc1.seq_errors.counters, acc_mh.seq_errors.counters
+    )
+    v1 = acc1.results_view().per_sample
+    v2 = acc_mh.results_view().per_sample
+    assert v1 == v2
+
+
+def test_run_multihost_rejects_gz(tmp_path, rng):
     paths = write_inputs(tmp_path)
     cfg0 = _mk_config(tmp_path, "x.fastq", paths)
     scheme, *_ = setup(cfg0)
-    fq, reads, quals = gen_fastq(tmp_path, scheme, 500, rng)
+    fq, *_ = gen_fastq(tmp_path, scheme, 50, rng, gz=True)
+    cfg = _mk_config(tmp_path, fq, paths)
+    scheme, conv, me, plan, _ = setup(cfg)
+    with pytest.raises(ValueError, match="plain FASTQ"):
+        multihost.run_multihost(cfg, plan, scheme, conv)
+
+
+def test_allgather_helpers_single_process():
+    v = multihost.allgather_sum(np.array([3, 5], np.int64))
+    np.testing.assert_array_equal(v, [3, 5])
+    rows = np.array([[1, 2], [3, 4]], np.uint64)
+    np.testing.assert_array_equal(multihost.allgather_rows(rows), rows)
+
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    pid = int(sys.argv[1]); port = sys.argv[2]
+    fastq, fmt, samples, barcodes, outdir = sys.argv[3:8]
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}", num_processes=2,
+        process_id=pid,
+    )
+    sys.path.insert(0, %(repo)r)
+    from ngs_barcode_count_tpu.runner import RunConfig, run
+    cfg = RunConfig(
+        fastq=fastq, format=fmt,
+        sample_barcodes_option=samples or None,
+        counted_barcodes_option=barcodes or None,
+        output_dir=outdir, prefix="mh", batch_size=128, progress=False,
+        merge_output=True,
+    )
+    r = run(cfg)
+    print("WORKER_OK", pid, r.total_reads)
+    """
+)
+
+
+def _spawn_two_process_run(tmp_path, cfg, port):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = _WORKER % {"repo": repo}
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["JAX_NUM_CPU_DEVICES"] = "1"
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-c", prog, str(i), str(port),
+                cfg.fastq, cfg.format,
+                cfg.sample_barcodes_option or "",
+                cfg.counted_barcodes_option or "",
+                str(tmp_path / f"out{i}"),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for i, out in enumerate(outs):
+        assert f"WORKER_OK {i}" in out, out[-2000:]
+    return outs
+
+
+@pytest.mark.parametrize("random_scheme", [False, True])
+def test_two_process_distributed_run(tmp_path, rng, random_scheme):
+    """Real jax.distributed across two CPU processes: merged outputs from
+    host 0 must equal a single-process run byte-for-byte (CSV row sets),
+    including the random-barcode triple union across hosts."""
+    paths = write_inputs(
+        tmp_path,
+        scheme_text=SCHEME_RANDOM_TEXT if random_scheme else None,
+    ) if random_scheme else write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 601, rng)
     cfg = _mk_config(tmp_path, fq, paths)
     cfg.batch_size = 128
-    scheme, conv, me, plan, _ = setup(cfg)
+    cfg.merge_output = True
 
-    counts_mh, counters_mh, local_reads = multihost.run_multihost_dense(
-        cfg, plan, scheme, n_model=1
+    (tmp_path / "out0").mkdir()
+    (tmp_path / "out1").mkdir()
+    (tmp_path / "single").mkdir()
+    port = 29800 + (17 if random_scheme else 0) + (os.getpid() % 97)
+    _spawn_two_process_run(tmp_path, cfg, port)
+
+    # single-process reference run (same outputs, different dir)
+    cfg.output_dir = str(tmp_path / "single")
+    cfg.prefix = "mh"
+    run(cfg)
+
+    single = sorted(os.listdir(tmp_path / "single"))
+    multi = sorted(
+        f for f in os.listdir(tmp_path / "out0") if f.endswith(".csv")
     )
-    assert local_reads == 500
-
-    acc = CountAccumulator(plan, conv)
-    decode_file(cfg, plan, scheme, acc)
-    acc.finalize()
-    np.testing.assert_array_equal(counts_mh, np.asarray(acc.dense_state))
-    np.testing.assert_array_equal(
-        counters_mh, np.asarray(acc.dense_counters)
+    singles_csv = [f for f in single if f.endswith(".csv")]
+    assert multi == singles_csv
+    for f in singles_csv:
+        a = sorted(open(tmp_path / "single" / f).read().splitlines())
+        b = sorted(open(tmp_path / "out0" / f).read().splitlines())
+        assert a == b, f
+    # host 1 writes nothing
+    assert not any(
+        f.endswith(".csv") for f in os.listdir(tmp_path / "out1")
     )

@@ -131,3 +131,56 @@ def test_packed_reader_roundtrip(tmp_path, rng):
         for r in reads
     ]
     assert got == want
+
+
+def _noisy(reads, rng, p=5):
+    out = []
+    for r in reads:
+        r = list(r)
+        for _ in range(int(rng.integers(0, p))):
+            r[int(rng.integers(0, len(r)))] = "N"
+        out.append("".join(r))
+    return out
+
+
+@pytest.mark.parametrize("min_quality", [0.0, 30.0])
+def test_packed_sharded_engine_equals_single(tmp_path, rng, min_quality):
+    """The wire format routed through the sharded mesh engine (packed rows
+    + per-shard exception buckets over the data axis) must reproduce the
+    single-device packed path exactly, with and without the quality
+    gate."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, conv, me, plan, _ = setup(cfg0)
+    fq, reads, quals0 = gen_fastq(
+        tmp_path, scheme, 700, rng, quality_range=(20, 41)
+    )
+    noisy = _noisy(reads, rng)
+    fq2 = str(tmp_path / "noisy.fastq")
+    simulate.write_fastq(fq2, noisy, quals0)
+    cfg = _mk_config(
+        tmp_path, fq2, paths, min_average_quality_score=min_quality,
+    )
+    cfg.batch_size = 128
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc1 = CountAccumulator(plan, conv)
+    n1 = decode_file(cfg, plan, scheme, acc1)
+    acc1.finalize()
+
+    acc4 = CountAccumulator(plan, conv, n_devices=4)
+    assert acc4.engine is not None
+    n4 = decode_file(cfg, plan, scheme, acc4, n_devices=4)
+    acc4.finalize()
+
+    assert n1 == n4 == len(noisy)
+    np.testing.assert_array_equal(
+        acc1.seq_errors.counters, acc4.seq_errors.counters
+    )
+    np.testing.assert_array_equal(
+        np.asarray(acc1.dense_state), np.asarray(acc4.dense_state)
+    )
