@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Number of local devices to shard batches over (0 = all)",
     )
     p.add_argument(
+        "--model-shards", type=int, default=1,
+        help="Shard candidate barcode matrices over this many devices "
+        "(model parallelism for huge DEL libraries); --devices must be "
+        "a multiple",
+    )
+    p.add_argument(
         "--no-progress", action="store_true", help="Disable progress output"
     )
     p.add_argument(
@@ -149,6 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         min_average_quality_score=args.min_quality,
         batch_size=args.batch_size,
         n_devices=args.devices,
+        model_shards=args.model_shards,
         progress=not args.no_progress,
         checkpoint_interval_s=args.checkpoint_interval,
         resume=args.resume,

@@ -57,6 +57,10 @@ class RunConfig:
     # TPU knobs (no reference equivalent: replaces --threads)
     batch_size: int = 1 << 17
     n_devices: int = 0  # 0 = all local devices
+    # model-parallel candidate sharding: devices factor as
+    # (data = n_devices/model_shards) x (model = model_shards); use for
+    # DEL libraries whose candidate matrices are too large to replicate
+    model_shards: int = 1
     progress: bool = True
     # checkpoint/resume (plain fastq, dense mode): snapshot every N
     # seconds; 0 disables.  resume=True restores from the checkpoint file
@@ -423,9 +427,11 @@ class CountAccumulator:
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
         self._shard_packed(pb)
+        # pallas_call under auto-SPMD jit with sharded inputs is at best
+        # unpartitioned: multi-device keyed runs stay on the XLA step
         pstep = (
             self._pallas_keyed_step_for(pb.width)
-            if pb.packed.shape[0] % 256 == 0
+            if pb.packed.shape[0] % 256 == 0 and self.shardings is None
             else None
         )
         if pstep is not None:
@@ -750,11 +756,13 @@ def decode_file(
         and native_ok
         and max(scheme_slots) <= 21
     )
-    checkpointing = (
-        config.checkpoint_interval_s > 0
-        and use_packed
-        and acc.bitmap is None
-        and acc.engine is None  # sharded state shape is mesh-dependent
+    checkpointing = config.checkpoint_interval_s > 0 and byte_range is None and (
+        (
+            use_packed
+            and acc.bitmap is None
+            and acc.engine is None  # sharded state shape is mesh-dependent
+        )
+        or use_packed_keyed
     )
     if byte_range is not None and not native_ok:
         raise RuntimeError(
@@ -764,9 +772,9 @@ def decode_file(
     if config.resume:
         if byte_range is not None:
             raise ValueError("resume is not supported on multi-host runs")
-        if not use_packed:
+        if not (use_packed or use_packed_keyed):
             raise ValueError(
-                "resume requires the dense-mode native path "
+                "resume requires the native wire-format path "
                 "(plain fastq, single device)"
             )
         from ngs_barcode_count_tpu import checkpoint as ckpt
@@ -819,20 +827,38 @@ def decode_file(
                     f"Total sequences:             {total_reads:,}\r", end=""
                 )
     elif use_packed_keyed:
+        from ngs_barcode_count_tpu import checkpoint as ckpt
         from ngs_barcode_count_tpu.io.parallel_ingest import (
             read_fastq_packed_parallel,
         )
 
+        fp = ckpt.config_fingerprint(config) if checkpointing else ""
+        last_ckpt = time.perf_counter()
+        # deterministic offsets for checkpoint/resume: single reader
+        n_threads = 1 if (checkpointing or config.resume) else 0
         for pb in read_fastq_packed_parallel(
             config.fastq,
             min_width=min_width,
             batch_reads=config.batch_size,
             with_quals=plan.min_quality > 0.0,
             byte_range=byte_range,
+            start_offset=start_offset,
+            n_threads=n_threads,
         ):
             acc.step_packed_keyed(pb)
             total_reads += pb.n_reads
             n_batches += 1
+            if (
+                checkpointing
+                and pb.next_offset >= 0
+                and time.perf_counter() - last_ckpt
+                >= config.checkpoint_interval_s
+            ):
+                ckpt.save(
+                    config.checkpoint_path, acc, pb.next_offset,
+                    total_reads, fp,
+                )
+                last_ckpt = time.perf_counter()
             if limit_batches and n_batches >= limit_batches:
                 break
             if config.progress:
@@ -932,9 +958,15 @@ def run(config: RunConfig) -> RunResult:
         )
         print()
 
+    if config.model_shards > 1 and not plan.dense_counts:
+        raise ValueError(
+            "--model-shards requires dense-count mode (sample + counted "
+            "barcode files, no random barcode)"
+        )
     acc = CountAccumulator(
         plan, conv, n_devices=n_devices,
         allow_bitmap=not (config.checkpoint_interval_s > 0 or config.resume),
+        n_model=config.model_shards,
     )
     t0 = time.perf_counter()
     from ngs_barcode_count_tpu.utils.tracing import profile_to

@@ -82,3 +82,56 @@ def test_fingerprint_mismatch_rejected(tmp_path, rng):
               ckpt.config_fingerprint(cfg))
     with pytest.raises(ValueError, match="different inputs"):
         ckpt.load(cfg.checkpoint_path, acc, "someotherfingerprint")
+
+
+def test_keyed_checkpoint_resume_equals_full_run(tmp_path, rng):
+    """Random-barcode (keyed + dedup) runs checkpoint and resume too:
+    keyed counts, dedup keys, and host counters all round-trip."""
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 1000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    assert not plan.dense_counts  # random barcode -> keyed path
+
+    acc_full = CountAccumulator(plan, conv, allow_bitmap=False)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    # interrupted run: 3 batches through the keyed wire path, save, resume
+    from ngs_barcode_count_tpu.io import native as native_mod
+
+    acc_a = CountAccumulator(plan, conv, allow_bitmap=False)
+    assert acc_a.keyed is not None and acc_a.dedup is not None
+    fp = ckpt.config_fingerprint(cfg)
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(
+        native_mod.read_fastq_native_packed(
+            cfg.fastq, min_width=scheme.length, batch_reads=cfg.batch_size
+        )
+    ):
+        acc_a.step_packed_keyed(pb)
+        total_a += pb.n_reads
+        if i == 2:
+            assert pb.next_offset > 0
+            offset = pb.next_offset
+            break
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    cfg.resume = True
+    cfg.checkpoint_interval_s = 1e9  # checkpointing armed, never fires
+    acc_b = CountAccumulator(plan, conv, allow_bitmap=False)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full == 1000
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
+    assert acc_b.keyed.counts == acc_full.keyed.counts

@@ -203,3 +203,52 @@ def test_sharded_fix_quirks_quality_parity(rng, eight_devices):
     mc, mctr = eng.merge(counts, counters)
     np.testing.assert_array_equal(np.asarray(mc), ref_counts)
     np.testing.assert_array_equal(np.asarray(mctr), ref_counters)
+
+
+def test_model_shards_cli_run_equals_single(tmp_path, rng, eight_devices):
+    """--model-shards plumbed end to end: a run() with a large candidate
+    set sharded over 2 model devices must produce identical counts to
+    the unsharded single-device run."""
+    from ngs_barcode_count_tpu.runner import RunConfig, run
+
+    # 2000 unique 10-mers: large enough that replicating is the thing
+    # model parallelism avoids
+    cands = set()
+    while len(cands) < 2000:
+        cands.add(simulate.random_seq(rng, 10))
+    cands = sorted(cands)
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text("ACGTACGTGGCA\n{10}\nTTACGGAT\n")
+    cf = tmp_path / "bc.csv"
+    cf.write_text(
+        "Barcode,ID,Num\n"
+        + "".join(f"{b},X{i},1\n" for i, b in enumerate(cands))
+    )
+    reads = []
+    for _ in range(300):
+        bc = cands[int(rng.integers(0, len(cands)))]
+        reads.append(
+            simulate.random_seq(rng, int(rng.integers(0, 6)))
+            + "ACGTACGTGGCA" + bc + "TTACGGAT"
+            + simulate.random_seq(rng, int(rng.integers(0, 6)))
+        )
+    fq = tmp_path / "reads.fastq"
+    simulate.write_fastq(str(fq), reads)
+
+    def cfg(n_dev, n_model, sub):
+        (tmp_path / sub).mkdir(exist_ok=True)
+        return RunConfig(
+            fastq=str(fq), format=str(fmt),
+            counted_barcodes_option=str(cf),
+            output_dir=str(tmp_path / sub), prefix="ms",
+            batch_size=128, progress=False,
+            n_devices=n_dev, model_shards=n_model,
+        )
+
+    r1 = run(cfg(1, 1, "single"))
+    r2 = run(cfg(4, 2, "sharded"))
+    assert r1.total_reads == r2.total_reads == 300
+    np.testing.assert_array_equal(
+        r1.seq_errors.counters, r2.seq_errors.counters
+    )
+    assert r1.results.per_sample == r2.results.per_sample
