@@ -94,7 +94,7 @@ def prepare_inputs(workdir: str, n_reads: int):
 
 
 def main():
-    n_reads = int(os.environ.get("NGS_BENCH_READS", 4_000_000))
+    n_reads = int(os.environ.get("NGS_BENCH_READS", 10_000_000))
     batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
     workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
     fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
@@ -127,19 +127,19 @@ def main():
     decode_file(cfg, plan, scheme, acc0, limit_batches=1)
     acc0.finalize()
 
-    # Timed end-to-end passes (best of 2: the relay link's throughput
-    # varies run to run; steady-state capability is the meaningful number).
-    best = None
+    # Timed end-to-end passes.  The headline is the SUSTAINED number
+    # (total reads / total time across both passes); the best pass is
+    # reported in detail (the relay link varies ±20% run to run).
+    times = []
     for _ in range(2):
         acc = CountAccumulator(plan, conv)
         t0 = time.perf_counter()
         total = decode_file(cfg, plan, scheme, acc)
         acc.finalize()
-        elapsed = time.perf_counter() - t0
-        if best is None or elapsed < best:
-            best = elapsed
-    elapsed = best
+        times.append(time.perf_counter() - t0)
+    elapsed = sum(times) / len(times)
     rps = total / elapsed
+    best_rps = total / min(times)
 
     # Device-resident decode throughput: one batch staged on device, K
     # repeated steps — isolates the TPU decode+count path from the
@@ -205,6 +205,31 @@ def main():
         n_ing += pb2.n_reads
     ingest_rps = n_ing / (time.perf_counter() - t0)
 
+    # Analytic kernel FLOPs per read (the two MXU stages; the realign
+    # FMA and VPU reductions are <2% and excluded):
+    #   scan matmul  [B,5L]x[5L,3*O_pad]     = 2*5L*3*O_pad
+    #   slot matmuls [B,5sl]x[5sl,nc_pad]    = sum 2*5*sl*nc_pad
+    def _round_up(x, m):
+        return -(-x // m) * m
+
+    L = pb.width
+    O_pad = _round_up(L - scheme.length + 1, 128)
+    flops_per_read = 2 * 5 * L * 3 * O_pad
+    slot_list = []
+    if scheme.sample_slot is not None and plan.sample_onehot is not None:
+        slot_list.append(
+            (scheme.sample_slot.length, plan.sample_onehot.shape[0])
+        )
+    if plan.counted_onehots is not None:
+        for i, s in enumerate(scheme.barcode_slots):
+            slot_list.append((s.length, plan.counted_onehots[i].shape[0]))
+    for sl, nc in slot_list:
+        flops_per_read += 2 * 5 * sl * _round_up(max(nc, 1), 128)
+    kernel_tflops = dev_rps * flops_per_read / 1e12
+    # v5e MXU peak: 197 TFLOP/s bf16 (matmul operands here are exact
+    # small integers carried in bf16 where gated, f32 otherwise)
+    mfu_pct = 100.0 * kernel_tflops / 197.0
+
     matched = acc.seq_errors.matched
     print(
         json.dumps(
@@ -216,12 +241,16 @@ def main():
                 "detail": {
                     "n_reads": total,
                     "elapsed_s": round(elapsed, 3),
+                    "best_pass_reads_per_s": round(best_rps, 1),
                     "matched": matched,
                     "batch_size": batch_size,
                     "device_resident_reads_per_s": round(dev_rps, 1),
                     "device_resident_vs_baseline": round(
                         dev_rps / BASELINE_READS_PER_S, 2
                     ),
+                    "kernel_flops_per_read": flops_per_read,
+                    "kernel_tflops": round(kernel_tflops, 2),
+                    "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
                     "ingest_reads_per_s": round(ingest_rps, 1),
                 },
             }

@@ -89,9 +89,18 @@ class KeyedCounts:
         if not len(mask) or not mask.any():
             return
         self._counts = None  # invalidate any materialized view
-        keys = np.stack([np.asarray(c)[mask] for c in key_cols], axis=1)
-        uniq, cnt = np.unique(keys, axis=0, return_counts=True)
-        self._chunks.append((uniq, cnt.astype(np.int64)))
+        if len(key_cols) == 1:
+            # 1-D unique is ~10x the axis=0 (void-view) path — the hot
+            # case since the runner packs dense (sample, combo) pairs
+            # into one u64 column
+            uniq1, cnt = np.unique(
+                np.asarray(key_cols[0])[mask], return_counts=True
+            )
+            self._chunks.append((uniq1[:, None], cnt.astype(np.int64)))
+        else:
+            keys = np.stack([np.asarray(c)[mask] for c in key_cols], axis=1)
+            uniq, cnt = np.unique(keys, axis=0, return_counts=True)
+            self._chunks.append((uniq, cnt.astype(np.int64)))
         if len(self._chunks) > 256:  # bound memory on huge runs
             self._chunks = [self._consolidate()]
 

@@ -143,9 +143,15 @@ def read_fastq_bgzf_parallel(
     with_quals: bool = False,
     n_threads: int = 0,
     queue_depth: int = 4,
+    member_range: tuple[int, int] | None = None,
 ) -> Iterator[PackedReads]:
     """Member-parallel BGZF FASTQ reader; yields PackedReads like
-    read_fastq_native_packed (check the file with is_bgzf first)."""
+    read_fastq_native_packed (check the file with is_bgzf first).
+
+    ``member_range`` restricts reading to members [sm, em) — the
+    multi-host share; thread spans are carved inside it, and ownership
+    of the record straddling the lower boundary follows the same rule
+    as thread boundaries (the share containing its first byte)."""
     import os
 
     if n_threads <= 0:
@@ -159,6 +165,9 @@ def read_fastq_bgzf_parallel(
     pre = [0]
     for s in isizes:
         pre.append(pre[-1] + s)
+    lo, hi = member_range if member_range is not None else (0, M)
+    if hi <= lo:
+        return
 
     lib = native.get_lib()
     if lib is None:
@@ -188,8 +197,9 @@ def read_fastq_bgzf_parallel(
     width = max(width_guess, min_width, 1)
     width = -(-width // 32) * 32
 
-    # member-index spans per thread
-    midx = [M * t // n_threads for t in range(n_threads)] + [M]
+    # member-index spans per thread (inside this host's member range)
+    span_m = hi - lo
+    midx = [lo + span_m * t // n_threads for t in range(n_threads)] + [hi]
     spans = [
         (midx[t], midx[t + 1])
         for t in range(n_threads)
@@ -208,7 +218,10 @@ def read_fastq_bgzf_parallel(
                 lib, path, offsets[sm], byte_end(slack_m), out_size
             )
             proper = pre[em] - pre[sm]
-            skip = 0 if t == 0 else _first_record_start(bytes(data))
+            # only the span starting at the very first member of the
+            # FILE owns its leading bytes unconditionally; every other
+            # span (thread or host boundary) skips the partial record
+            skip = 0 if sm == 0 else _first_record_start(bytes(data))
             data = data[skip:]
             range_end = max(proper - skip, 0)
             h = lib.fastq_open_mem(

@@ -46,14 +46,37 @@ def read_fastq_packed_parallel(
     slice of a plain FASTQ (the per-host share of a multi-host run);
     thread sub-ranges are carved inside it."""
     if n_threads <= 0:
-        n_threads = min(4, os.cpu_count() or 1)
+        # the relay's stream compression competes for the same cores:
+        # NGS_INGEST_THREADS caps the reader pool when ingest is not the
+        # bottleneck (it rarely is — the C++ codec does ~3M reads/s/core)
+        n_threads = int(
+            os.environ.get("NGS_INGEST_THREADS", 0)
+        ) or min(4, os.cpu_count() or 1)
     gz = path.endswith(".gz")
     size = os.path.getsize(path)
     if byte_range is not None:
         if gz:
-            raise ValueError(
-                "byte-range ingest requires a plain (non-gzip) FASTQ"
+            from ngs_barcode_count_tpu.io import bgzf
+
+            table = bgzf.member_table(path)
+            if table is None:
+                raise ValueError(
+                    "byte-range ingest requires a plain or BGZF FASTQ "
+                    "(generic gzip is one unsplittable DEFLATE stream)"
+                )
+            # map the byte range to a member span: a member belongs to
+            # the range containing its first byte (same tiling rule as
+            # records, so host shares partition the member list exactly)
+            offsets = table[0]
+            r_start, r_end = byte_range
+            lo = sum(1 for o in offsets if o < r_start)
+            hi = sum(1 for o in offsets if o < r_end)
+            yield from bgzf.read_fastq_bgzf_parallel(
+                path, min_width=min_width, batch_reads=batch_reads,
+                with_quals=with_quals, n_threads=n_threads,
+                queue_depth=queue_depth, member_range=(lo, hi),
             )
+            return
         r_start, r_end = byte_range
         if r_end <= r_start:
             return

@@ -232,8 +232,11 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     # One matmul over a c-major one-hot replaces the natural conv
     # formulation: a 5-in/3-out-channel conv cannot tile onto the MXU
     # (measured 4x slower device-resident than this matmul on v5e).
+    # bf16 operands + f32 accumulation: every operand is exactly 0/1 so
+    # the match counts stay exact integers, and the MXU runs at its bf16
+    # rate (2x the f32 formulation).
     x1h = jnp.concatenate(
-        [(bases == c).astype(jnp.float32) for c in range(5)], axis=1
+        [(bases == c).astype(jnp.bfloat16) for c in range(5)], axis=1
     )  # [B, 5L] c-major
     from ngs_barcode_count_tpu.ops.pallas_decode import (
         _round_up,
@@ -241,7 +244,7 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     )
 
     O_pad = _round_up(O, 128)
-    w = jnp.asarray(_scan_matrix(plan, L, O, O_pad))  # [5L, 3*O_pad]
+    w = jnp.asarray(_scan_matrix(plan, L, O, O_pad), jnp.bfloat16)
     out = jnp.dot(x1h, w, preferred_element_type=jnp.float32)
     strict = out[:, :O].astype(jnp.int32)
     wild = out[:, O_pad : O_pad + O].astype(jnp.int32)
@@ -314,15 +317,16 @@ def match_barcodes(
     r = (slot_codes[..., None] == jnp.arange(4, dtype=slot_codes.dtype)) | (
         slot_codes == dna.N
     )[..., None]
-    r = r.reshape(B, sl * 4).astype(jnp.float32)
+    # 0/1 operands in bf16, f32 accumulation: exact and 2x MXU rate
+    r = r.reshape(B, sl * 4).astype(jnp.bfloat16)
     matches = jnp.dot(
-        r, jnp.asarray(onehot, dtype=jnp.float32).T,
+        r, jnp.asarray(onehot, dtype=jnp.bfloat16).T,
         preferred_element_type=jnp.float32,
     )
     if n_mask.any():
-        read_n = (slot_codes == dna.N).astype(jnp.float32)
+        read_n = (slot_codes == dna.N).astype(jnp.bfloat16)
         matches = matches - 3.0 * jnp.dot(
-            read_n, jnp.asarray(n_mask, dtype=jnp.float32).T,
+            read_n, jnp.asarray(n_mask, dtype=jnp.bfloat16).T,
             preferred_element_type=jnp.float32,
         )
     m = sl - matches.astype(jnp.int32)  # [B, n_codes] mismatch counts
@@ -554,6 +558,167 @@ def random_bitmap_step_packed_q(
     )
     return random_bitmap_step.__wrapped__(
         plan, bytemap, counters, bases, quals, lengths, read_mask
+    )
+
+
+# ---------------------------------------------------------------------------
+# Device hash-set dedup (random-barcode mode, combo spaces too large for
+# the exact bytemap)
+# ---------------------------------------------------------------------------
+#
+# The reference keeps a host HashSet of random-barcode strings
+# (info.rs:770-801).  The bytemap replaces it exactly for small spaces;
+# for large spaces this open-addressing fingerprint table keeps the
+# dedup ON DEVICE so nothing per-read ever crosses the host link:
+#
+# - table[S] uint32: 0 = empty, else a 32-bit fingerprint of the
+#   (sample, combo, random) triple.  Slot and fingerprint come from two
+#   independent 32-bit mixes of the exact triple ids.
+# - within a batch, first-occurrence is decided EXACTLY by a
+#   lexicographic sort on (slot, fp) — later same-triple reads are
+#   duplicates.
+# - cross-batch: 4 linear probes; fp match = duplicate, first empty
+#   slot = insert (scatter; the re-gather detects the winner among
+#   same-slot contenders, losers continue probing).
+# - reads that exhaust all probes (cluster full) compact into a
+#   fixed-cap overflow buffer that the host dedups exactly; slots never
+#   free, so every later occurrence of an overflowed triple overflows
+#   too and host classification stays exact.
+#
+# The only inexactness is a 32-bit fingerprint collision inside one
+# probe window (~2^-32 per comparison; expected well below one read per
+# 400M-read run — documented in PARITY.md next to the 128-bit host-key
+# note).
+
+DEDUP_PROBES = 4
+
+
+def _mix32(a, b, c1: int, c2: int):
+    """32-bit avalanche mix of two int32 lanes (murmur3-style finalizer;
+    wrapping uint32 arithmetic)."""
+    h = (a.astype(jnp.uint32) * np.uint32(c1)) ^ (
+        b.astype(jnp.uint32) * np.uint32(c2)
+    )
+    h = h ^ (h >> 15)
+    h = h * np.uint32(0x2C1B3C6D)
+    h = h ^ (h >> 12)
+    h = h * np.uint32(0x297A2D39)
+    h = h ^ (h >> 15)
+    return h
+
+
+def random_hashset_step(
+    plan: DecodePlan, table, counts, counters, bases, quals, lengths,
+    read_mask, cap: int,
+):
+    """Decode + device hash-set dedup + dense count update.
+
+    Returns (table, counts, counters, over_rows [cap, 2] int32,
+    n_over [1] int32): over_rows[:n_over] are (flat, ridx) of reads the
+    table could not place (probe cluster full) for exact host handling.
+    """
+    S = table.shape[0]
+    r = decode_batch(plan, bases, quals, lengths, read_mask)
+    valid = r["valid"]
+    B = valid.shape[0]
+    flat = r["sample_idx"] * plan.n_combos + r["combo_flat"]
+    flat = jnp.where(valid, flat, 0)
+    ridx = random_base6_index(r["random_codes"])
+
+    slot = (_mix32(flat, ridx, 0x85EBCA6B, 0xC2B2AE35) % np.uint32(S)).astype(
+        jnp.int32
+    )
+    fp = _mix32(flat, ridx, 0x9E3779B1, 0x27D4EB2F)
+    fp = jnp.where(fp == 0, np.uint32(1), fp)
+    # invalid rows: sentinel slot past the table, fp 0 (matches nothing)
+    slot = jnp.where(valid, slot, S)
+    fp = jnp.where(valid, fp, 0)
+
+    # exact in-batch first-occurrence via lexicographic sort on (slot, fp)
+    row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+    s_slot, s_fp, s_row = jax.lax.sort((slot, fp, row), num_keys=2)
+    run_start = jnp.concatenate(
+        [
+            jnp.ones((1,), bool),
+            (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1]),
+        ]
+    )
+    first = jnp.zeros(B, bool).at[s_row].set(run_start)
+    resolved_dup = valid & ~first
+    active = valid & first
+    is_new = jnp.zeros(B, bool)
+    for p in range(DEDUP_PROBES):
+        cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
+        t = table.at[cur].get(mode="fill", fill_value=1)
+        hit = active & (t == fp)
+        resolved_dup = resolved_dup | hit
+        active = active & ~hit
+        empty = active & (t == 0)
+        table = table.at[jnp.where(empty, cur, S)].set(fp, mode="drop")
+        t2 = table.at[cur].get(mode="fill", fill_value=1)
+        won = empty & (t2 == fp)
+        is_new = is_new | won
+        active = active & ~won
+    overflow = active
+
+    counts = counts.at[jnp.where(is_new, flat, 0)].add(
+        is_new.astype(counts.dtype)
+    )
+    add = r["counters"]
+    add = add.at[stats.MATCHED].set(jnp.sum(is_new))
+    add = add.at[stats.DUPLICATES].set(jnp.sum(resolved_dup))
+    counters = counters + add
+
+    # compact overflow rows to a fixed-cap prefix (host fetches [:n])
+    not_over = (~overflow).astype(jnp.int32)
+    _, o_flat, o_ridx = jax.lax.sort((not_over, flat, ridx), num_keys=1)
+    over_rows = jnp.stack([o_flat[:cap], o_ridx[:cap]], axis=1)
+    n_over = jnp.sum(overflow.astype(jnp.int32))
+    return table, counts, counters, over_rows, n_over[None]
+
+
+@partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2, 3))
+def random_hashset_step_unpacked(
+    plan: DecodePlan, table, counts, counters, bases, quals, lengths,
+    read_mask, cap: int,
+):
+    """Jitted entry for the int8 (NumPy-ingest fallback) path."""
+    return random_hashset_step(
+        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(1, 2, 3))
+def random_hashset_step_packed(
+    plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
+    exc_val, width: int, cap: int, n_reads,
+):
+    """Wire-format variant of random_hashset_step (no quality gate)."""
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    quals = jnp.zeros((B, 1), jnp.int8)
+    return random_hashset_step(
+        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 9, 10), donate_argnums=(1, 2, 3))
+def random_hashset_step_packed_q(
+    plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
+    exc_val, quals, width: int, cap: int, n_reads,
+):
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    return random_hashset_step(
+        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
     )
 
 

@@ -96,6 +96,115 @@ def _match_matrix(onehot: np.ndarray, n_mask: np.ndarray, sl: int):
     return Wm, nc, nc_pad
 
 
+def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
+                      O, O_pad, n_const, n_wild, max_const):
+    """Shared per-tile front end of every decode kernel: the one-matmul
+    offset scan, the leftmost-exact / unique-best-repair selection, and
+    the realigned format region.  Returns (const_ok, offset, has_exact,
+    exact_off, o_idx, R); all [TB, 1] except o_idx [TB, O_pad] and
+    R [TB, F] f32."""
+    x1h = jnp.concatenate(
+        [(basesf == c).astype(jnp.bfloat16) for c in range(5)], axis=1
+    )  # [TB, 5L] -- bf16 operands, f32 accumulation: inputs are exactly
+    # representable (0/1) so counts stay exact integers while the MXU
+    # runs at its bf16 rate
+    scan = jnp.dot(
+        x1h, scan_w_ref[...], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # [TB, 3*O_pad]
+    strict_o = scan[:, :O_pad]
+    wild_o = scan[:, O_pad : 2 * O_pad]
+    relax_o = scan[:, 2 * O_pad : 3 * O_pad]
+    o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
+    o_in_range = (o_idx + F <= lengths) & (o_idx < O)
+
+    exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
+    has_exact = jnp.any(exact, axis=1, keepdims=True)
+    # LEFTMOST exact offset (the regex is a search): explicit min —
+    # Mosaic's argmax does not guarantee first-occurrence ties
+    exact_off = jnp.min(
+        jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
+    ).astype(jnp.int32)
+
+    # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295);
+    # --fix-quirks includes the final alignment
+    if plan.fix_quirks:
+        rep_range = (o_idx + F <= lengths) & (o_idx < O)
+    else:
+        rep_range = (o_idx + F < lengths) & (o_idx < O)
+    mism = jnp.where(rep_range, n_const - relax_o, _BIG)
+    mism_min = jnp.min(mism, axis=1, keepdims=True)
+    # first-minimum offset (deterministic; ties are dropped anyway)
+    rep_off = jnp.min(
+        jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    n_best = jnp.sum(
+        ((mism == mism_min) & rep_range).astype(jnp.int32),
+        axis=1, keepdims=True,
+    )
+    wild_at_rep = jnp.sum(
+        jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
+    )
+    repair_ok = (
+        (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
+    )
+    len_ok = (lengths >= F) & is_read
+    const_ok = len_ok & (has_exact | repair_ok)
+    offset = jnp.where(has_exact, exact_off, rep_off)
+
+    # realign the format region: R[b, p] = bases[b, offset+p]
+    sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
+    R = jnp.zeros((TB, F), jnp.float32)
+    for o in range(O):
+        R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
+    return const_ok, offset, has_exact, exact_off, o_idx, R
+
+
+def _kernel_quality_gate(plan, qualsf, o_idx, O, offset, has_exact,
+                         exact_off, const_ok, TB):
+    """Fused segment-mean quality check (reference parse.rs:331-375
+    semantics incl. the repaired-read start=0 quirk; --fix-quirks reads
+    from the matched window).  Returns lowq [TB, 1] bool."""
+    if plan.fix_quirks:
+        qual_start = offset
+    else:
+        qual_start = jnp.where(has_exact, exact_off, 0)
+    sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(jnp.float32)[:, :O]
+    lowq = jnp.zeros((TB, 1), bool)
+    for seg in plan.qual_segments:
+        wsum = jnp.zeros((TB, O), jnp.float32)
+        for r_ in range(seg.length):
+            c0 = seg.start + r_
+            wsum = wsum + qualsf[:, c0 : c0 + O]
+        ssum = jnp.sum(sel2 * wsum, axis=1, keepdims=True)
+        lowq = lowq | (ssum / jnp.float32(seg.length) < plan.min_quality)
+    return const_ok & lowq
+
+
+def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
+    """Tie-drop Hamming argmin of realigned slot codes against one
+    candidate matrix (parse.rs:553-593).  Returns (idx, ok) [TB, 1]."""
+    is_n = (r == dna.N).astype(jnp.bfloat16)
+    blocks = [
+        jnp.maximum((r == c).astype(jnp.bfloat16), is_n) for c in range(4)
+    ]
+    blocks.append(is_n)
+    m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5*sl]
+    matches = jnp.dot(
+        m_in, w_ref[...], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)
+    cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
+    m = jnp.where(cand_col < nc, sl - matches, _BIG)
+    m_min = jnp.min(m, axis=1, keepdims=True)
+    idx = jnp.min(
+        jnp.where(m == m_min, cand_col, _BIG), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    uniq = (
+        jnp.sum((m == m_min).astype(jnp.int32), axis=1, keepdims=True) == 1
+    )
+    ok = (m_min <= budget) & uniq
+    return idx, ok
+
+
 def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                         interpret: bool = False):
     """Compile the fused kernel for width L.  Returns jitted
@@ -155,113 +264,32 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]  # [TB, 1]
 
-        # ---- offset scan: ONE matmul over the c-major one-hot ----
-        x1h = jnp.concatenate(
-            [(basesf == c).astype(jnp.float32) for c in range(5)], axis=1
-        )  # [TB, 5L]
-        scan = jnp.dot(
-            x1h, scan_w_ref[...], preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # [TB, 3*O_pad]
-        strict_o = scan[:, :O_pad]
-        wild_o = scan[:, O_pad : 2 * O_pad]
-        relax_o = scan[:, 2 * O_pad : 3 * O_pad]
-        o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
-        o_in_range = (o_idx + F <= lengths) & (o_idx < O)
-
-        exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
-        has_exact = jnp.any(exact, axis=1, keepdims=True)
-        # LEFTMOST exact offset (the regex is a search): explicit min —
-        # Mosaic's argmax does not guarantee first-occurrence ties
-        exact_off = jnp.min(
-            jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
-        ).astype(jnp.int32)
-
-        # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295);
-        # --fix-quirks includes the final alignment
-        if plan.fix_quirks:
-            rep_range = (o_idx + F <= lengths) & (o_idx < O)
-        else:
-            rep_range = (o_idx + F < lengths) & (o_idx < O)
-        mism = jnp.where(rep_range, n_const - relax_o, _BIG)
-        mism_min = jnp.min(mism, axis=1, keepdims=True)
-        # first-minimum offset (deterministic; ties are dropped anyway)
-        rep_off = jnp.min(
-            jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        n_best = jnp.sum(
-            ((mism == mism_min) & rep_range).astype(jnp.int32),
-            axis=1, keepdims=True,
+        const_ok, offset, has_exact, exact_off, o_idx, R = (
+            _kernel_front_end(
+                plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
+                O_pad, n_const, n_wild, max_const,
+            )
         )
-        wild_at_rep = jnp.sum(
-            jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
-        )
-        repair_ok = (
-            (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
-        )
-        len_ok = (lengths >= F) & is_read
-        const_ok = len_ok & (has_exact | repair_ok)  # [TB, 1]
-        offset = jnp.where(has_exact, exact_off, rep_off)  # [TB, 1]
 
-        # ---- realign the format region: R[b, p] = bases[b, offset+p] ----
-        sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
-        R = jnp.zeros((TB, F), jnp.float32)
-        for o in range(O):
-            R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
-
-        # ---- quality gate (fused segment means) ----
         status = jnp.where(
             is_read, jnp.where(const_ok, ST_VALID, ST_CONST), ST_PADDING
         )  # [TB, 1]
         ok_so_far = const_ok
         if with_quals:
-            qualsf = quals_ref[...].astype(jnp.float32)  # [TB, L]
-            if plan.fix_quirks:
-                qual_start = offset
-            else:
-                # reference quirk: repaired reads read quality from 0
-                qual_start = jnp.where(has_exact, exact_off, 0)
-            sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(jnp.float32)
-            sel2 = sel2[:, :O]
-            lowq = jnp.zeros((TB, 1), bool)
-            for seg in plan.qual_segments:
-                wsum = jnp.zeros((TB, O), jnp.float32)
-                for r_ in range(seg.length):
-                    c0 = seg.start + r_
-                    wsum = wsum + qualsf[:, c0 : c0 + O]
-                ssum = jnp.sum(sel2 * wsum, axis=1, keepdims=True)
-                mean = ssum / jnp.float32(seg.length)
-                lowq = lowq | (mean < plan.min_quality)
-            lowq = const_ok & lowq
+            lowq = _kernel_quality_gate(
+                plan, quals_ref[...].astype(jnp.float32), o_idx, O, offset,
+                has_exact, exact_off, const_ok, TB,
+            )
             status = jnp.where(lowq, ST_LOWQ, status)
             ok_so_far = const_ok & ~lowq
         combo = jnp.zeros((TB, 1), jnp.int32)
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
         for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(slots):
-            sl = slot.length
-            r = R[:, slot.offset : slot.offset + sl]  # [TB, sl]
-            is_n = (r == dna.N).astype(jnp.float32)
-            blocks = [
-                jnp.maximum((r == c).astype(jnp.float32), is_n)
-                for c in range(4)
-            ]
-            blocks.append(is_n)
-            m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5*sl]
-            matches = jnp.dot(
-                m_in, slot_w_refs[s_i][...],
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
-            m = jnp.where(cand_col < nc, sl - matches, _BIG)
-            m_min = jnp.min(m, axis=1, keepdims=True)
-            idx = jnp.min(
-                jnp.where(m == m_min, cand_col, _BIG), axis=1, keepdims=True
-            ).astype(jnp.int32)
-            uniq = (
-                jnp.sum((m == m_min).astype(jnp.int32), axis=1, keepdims=True)
-                == 1
+            r = R[:, slot.offset : slot.offset + slot.length]  # [TB, sl]
+            idx, ok = _kernel_match(
+                r, slot_w_refs[s_i], nc, nc_pad, slot.length, budget, TB
             )
-            ok = (m_min <= budget) & uniq
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
             status = jnp.where(ok_so_far & ~ok, code, status)
             ok_so_far = ok_so_far & ok
@@ -311,7 +339,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                          memory_space=pltpu.VMEM)
             for (_, _, Wm, _, _, _) in slots
         ]
-        args += [jnp.asarray(w) for w in consts_np]
+        args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
         flat, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -497,7 +525,9 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         )
 
     def _slot_words(R, slot, wl_ref, wh_ref):
-        r_slot = R[:, slot.offset : slot.offset + slot.length]  # f32 codes
+        r_slot = R[:, slot.offset : slot.offset + slot.length].astype(
+            jnp.bfloat16
+        )
         low = jnp.dot(r_slot, wl_ref[...], preferred_element_type=jnp.float32)
         high = jnp.dot(r_slot, wh_ref[...], preferred_element_type=jnp.float32)
         return low.astype(jnp.int32) + high.astype(jnp.int32) * 32768
@@ -520,78 +550,22 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]
 
-        x1h = jnp.concatenate(
-            [(basesf == c).astype(jnp.float32) for c in range(5)], axis=1
+        const_ok, offset, has_exact, exact_off, o_idx, R = (
+            _kernel_front_end(
+                plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
+                O_pad, n_const, n_wild, max_const,
+            )
         )
-        scan = jnp.dot(
-            x1h, scan_w_ref[...], preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        strict_o = scan[:, :O_pad]
-        wild_o = scan[:, O_pad : 2 * O_pad]
-        relax_o = scan[:, 2 * O_pad : 3 * O_pad]
-        o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
-        o_in_range = (o_idx + F <= lengths) & (o_idx < O)
-
-        exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
-        has_exact = jnp.any(exact, axis=1, keepdims=True)
-        # LEFTMOST exact offset (the regex is a search): explicit min —
-        # Mosaic's argmax does not guarantee first-occurrence ties
-        exact_off = jnp.min(
-            jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        if plan.fix_quirks:
-            rep_range = (o_idx + F <= lengths) & (o_idx < O)
-        else:
-            rep_range = (o_idx + F < lengths) & (o_idx < O)
-        mism = jnp.where(rep_range, n_const - relax_o, _BIG)
-        mism_min = jnp.min(mism, axis=1, keepdims=True)
-        # first-minimum offset (deterministic; ties are dropped anyway)
-        rep_off = jnp.min(
-            jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        n_best = jnp.sum(
-            ((mism == mism_min) & rep_range).astype(jnp.int32),
-            axis=1, keepdims=True,
-        )
-        wild_at_rep = jnp.sum(
-            jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
-        )
-        repair_ok = (
-            (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
-        )
-        len_ok = (lengths >= F) & is_read
-        const_ok = len_ok & (has_exact | repair_ok)
-        offset = jnp.where(has_exact, exact_off, rep_off)
-
-        sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
-        R = jnp.zeros((TB, F), jnp.float32)
-        for o in range(O):
-            R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
 
         status = jnp.where(
             is_read, jnp.where(const_ok, ST_VALID, ST_CONST), ST_PADDING
         )
         ok_so_far = const_ok
         if with_quals:
-            qualsf = quals_ref[...].astype(jnp.float32)
-            if plan.fix_quirks:
-                qual_start = offset
-            else:
-                qual_start = jnp.where(has_exact, exact_off, 0)
-            sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(
-                jnp.float32
-            )[:, :O]
-            lowq = jnp.zeros((TB, 1), bool)
-            for seg in plan.qual_segments:
-                wsum = jnp.zeros((TB, O), jnp.float32)
-                for r_ in range(seg.length):
-                    c0 = seg.start + r_
-                    wsum = wsum + qualsf[:, c0 : c0 + O]
-                ssum = jnp.sum(sel2 * wsum, axis=1, keepdims=True)
-                lowq = lowq | (
-                    ssum / jnp.float32(seg.length) < plan.min_quality
-                )
-            lowq = const_ok & lowq
+            lowq = _kernel_quality_gate(
+                plan, quals_ref[...].astype(jnp.float32), o_idx, O, offset,
+                has_exact, exact_off, const_ok, TB,
+            )
             status = jnp.where(lowq, ST_LOWQ, status)
             ok_so_far = const_ok & ~lowq
 
@@ -599,30 +573,10 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         combo = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
         for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(matchers):
-            sl = slot.length
-            r = R[:, slot.offset : slot.offset + sl]
-            is_n = (r == dna.N).astype(jnp.float32)
-            blocks = [
-                jnp.maximum((r == c).astype(jnp.float32), is_n)
-                for c in range(4)
-            ]
-            blocks.append(is_n)
-            m_in = jnp.concatenate(blocks, axis=1)
-            matches = jnp.dot(
-                m_in, slot_w_refs[s_i][...],
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
-            m = jnp.where(cand_col < nc, sl - matches, _BIG)
-            m_min = jnp.min(m, axis=1, keepdims=True)
-            idx = jnp.min(
-                jnp.where(m == m_min, cand_col, _BIG), axis=1, keepdims=True
-            ).astype(jnp.int32)
-            uniq = (
-                jnp.sum((m == m_min).astype(jnp.int32), axis=1,
-                        keepdims=True) == 1
+            r = R[:, slot.offset : slot.offset + slot.length]
+            idx, ok = _kernel_match(
+                r, slot_w_refs[s_i], nc, nc_pad, slot.length, budget, TB
             )
-            ok = (m_min <= budget) & uniq
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
             status = jnp.where(ok_so_far & ~ok, code, status)
             ok_so_far = ok_so_far & ok
@@ -712,7 +666,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                 pl.BlockSpec(Wh.shape, lambda i, *_: (0, 0),
                              memory_space=pltpu.VMEM),
             ]
-        args += [jnp.asarray(w) for w in consts_np]
+        args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
         wire, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

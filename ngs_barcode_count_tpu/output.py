@@ -57,9 +57,17 @@ class ResultsView:
     per_sample maps sample key (DNA barcode, raw DNA, or "barcode") to
     {comma-joined DNA combo: count}; in random mode counts are already
     collapsed set-cardinalities.
+
+    When the counts came from the dense device tensor, ``dense_arr``
+    carries it as [n_samples, r1, ..., rn] with ``dense_sample_keys``
+    naming each row: enrichment marginals then reduce over tensor axes
+    (info.rs:811-905 rebuilt as axis sums) instead of walking per-row
+    host dicts.
     """
 
     per_sample: dict[str, dict[str, int]]
+    dense_arr: "object | None" = None  # np.ndarray, avoids hard np import
+    dense_sample_keys: list[str] | None = None
 
 
 @dataclass
@@ -133,8 +141,12 @@ class WriteFiles:
 
     def write_counts_files(self) -> None:
         sample_barcodes = list(self.results.per_sample.keys())
+        self._enrich_precomputed = False
         if self.config.enrich:
             self.enriched.add_sample_barcodes(sample_barcodes)
+            if self.results.dense_arr is not None:
+                self._precompute_enrichment_dense()
+                self._enrich_precomputed = True
         sample_barcodes = self._sorted_samples(sample_barcodes)
 
         merge_output = self.config.merge_output
@@ -212,13 +224,84 @@ class WriteFiles:
                     row.append(str(self._counts_for(enrichment, sb).get(code, 0)))
                 self.merge_text.append(",".join(row) + "\n")
             rows.append(f"{written},{count}\n")
-            if enrichment == _FULL and self.config.enrich:
+            if (
+                enrichment == _FULL
+                and self.config.enrich
+                and not self._enrich_precomputed
+            ):
                 self.enriched.add_single(sample_barcode, written, count)
                 if self.scheme.barcode_num > 2:
                     self.enriched.add_double(sample_barcode, written, count)
         with open(path, "w") as f:
             f.write("".join(rows))
         return n
+
+    def _precompute_enrichment_dense(self) -> None:
+        """Enrichment marginals as tensor axis-reductions: single[j] =
+        sum over every axis but (sample, j); double[(j,k)] likewise.
+        Identical totals to the per-row accumulation (each is the sum of
+        full counts sharing the kept barcode IDs — ID collisions merge
+        through the += just like repeated dict keys)."""
+        import numpy as np
+
+        arr = np.asarray(self.results.dense_arr)
+        keys = self.results.dense_sample_keys
+        n = self.scheme.barcode_num
+        axes = tuple(range(1, n + 1))
+        # per-position converted ID tables (dense mode always has the
+        # counted file, so conversion mirrors the Full pass's written
+        # strings)
+        id_tables = []
+        for j in range(n):
+            h = (
+                self.counted_barcodes_hash[j]
+                if self.counted_barcodes_hash
+                else {}
+            )
+            size = arr.shape[1 + j]
+            # index -> ID string, via the same insertion-ordered sequences
+            # used by runner.results_view
+            seqs = self._dense_seqs(j, size)
+            id_tables.append([h.get(s, s) for s in seqs])
+        for s, sb in enumerate(keys):
+            single = self.enriched.single_hashmap.get(sb)
+            double = self.enriched.double_hashmap.get(sb)
+            if single is None:
+                continue
+            for j in range(n):
+                keep = tuple(a for a in axes if a != 1 + j)
+                marg = arr[s : s + 1].sum(axis=keep)[0]
+                nz = np.flatnonzero(marg)
+                for idx in nz:
+                    cols = [""] * n
+                    cols[j] = id_tables[j][int(idx)]
+                    k = ",".join(cols)
+                    single[k] = single.get(k, 0) + int(marg[idx])
+            if n > 2 and double is not None:
+                for j in range(n - 1):
+                    for k2 in range(j + 1, n):
+                        keep = tuple(
+                            a for a in axes if a != 1 + j and a != 1 + k2
+                        )
+                        marg = arr[s : s + 1].sum(axis=keep)[0]
+                        nzr, nzc = np.nonzero(marg)
+                        for r, c in zip(nzr, nzc):
+                            cols = [""] * n
+                            cols[j] = id_tables[j][int(r)]
+                            cols[k2] = id_tables[k2][int(c)]
+                            kk = ",".join(cols)
+                            double[kk] = double.get(kk, 0) + int(marg[r, c])
+
+    def _dense_seqs(self, j: int, size: int) -> list[str]:
+        """Position j's candidate DNA strings in index order (the same
+        order runner.results_view uses to name combos)."""
+        h = self.counted_barcodes_hash[j] if self.counted_barcodes_hash else {}
+        seqs = list(h.keys())
+        if len(seqs) != size:
+            raise ValueError(
+                f"counted set {j} size {len(seqs)} != tensor axis {size}"
+            )
+        return seqs
 
     def _write_enriched_files(self, enrichment: str) -> None:
         source = (

@@ -101,14 +101,16 @@ def match_barcodes_model_parallel(
     r = (slot_codes[..., None] == jnp.arange(4, dtype=slot_codes.dtype)) | (
         slot_codes == dna.N
     )[..., None]
-    r = r.reshape(B, sl * 4).astype(jnp.float32)
+    # 0/1 operands in bf16, f32 accumulation: exact and 2x MXU rate
+    r = r.reshape(B, sl * 4).astype(jnp.bfloat16)
     matches = jnp.dot(
-        r, onehot_shard.astype(jnp.float32).T, preferred_element_type=jnp.float32
+        r, onehot_shard.astype(jnp.bfloat16).T,
+        preferred_element_type=jnp.float32,
     )
     if n_mask_shard.shape[-1]:
-        read_n = (slot_codes == dna.N).astype(jnp.float32)
+        read_n = (slot_codes == dna.N).astype(jnp.bfloat16)
         matches = matches - 3.0 * jnp.dot(
-            read_n, n_mask_shard.astype(jnp.float32).T,
+            read_n, n_mask_shard.astype(jnp.bfloat16).T,
             preferred_element_type=jnp.float32,
         )
     m = sl - matches.astype(jnp.int32)  # [B, per]

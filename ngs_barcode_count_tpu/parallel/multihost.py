@@ -158,11 +158,16 @@ def run_multihost(config, plan, scheme, conv):
     Returns (acc with globally-merged state, total_reads)."""
     from ngs_barcode_count_tpu import runner as runner_mod
 
-    if config.fastq.endswith(".gz"):
-        raise ValueError(
-            "multi-host runs require a plain FASTQ (gzip streams cannot "
-            "be range-sharded); unzip and rerun"
-        )
+    gz = config.fastq.endswith(".gz")
+    if gz:
+        from ngs_barcode_count_tpu.io import bgzf
+
+        if not bgzf.is_bgzf(config.fastq):
+            raise ValueError(
+                "multi-host runs require a plain or BGZF (bgzip) FASTQ "
+                "(generic gzip is one unsplittable DEFLATE stream); "
+                "unzip or re-compress with bgzip and rerun"
+            )
     if not plan.dense_counts:
         long_slots = [
             s.length for s in scheme.barcode_slots if not plan.dense_counted
@@ -178,7 +183,17 @@ def run_multihost(config, plan, scheme, conv):
             )
     host = jax.process_index()
     n_hosts = jax.process_count()
-    start, end = dist.host_byte_range(config.fastq, host, n_hosts)
+    if gz:
+        # raw byte splits: the BGZF reader assigns whole members to the
+        # range containing their first byte (no record alignment on
+        # compressed bytes)
+        import os as _os
+
+        size = _os.path.getsize(config.fastq)
+        start = size * host // n_hosts
+        end = size * (host + 1) // n_hosts
+    else:
+        start, end = dist.host_byte_range(config.fastq, host, n_hosts)
 
     local = jax.local_devices()
     n_dev = config.n_devices or len(local)

@@ -155,14 +155,15 @@ class CountAccumulator:
         self.engine = None
         self.engine_step = None
         self.bitmap = None
-        if (
-            allow_bitmap
+        self.hashset = None
+        device_random_ok = (
+            allow_bitmap  # same gate: device structures, no checkpointing
             and n_devices == 1
             and plan.scheme.random_barcode
             and plan.dense_sample
             and plan.dense_counted
-            and _bitmap_fits(plan)
-        ):
+        )
+        if device_random_ok and _bitmap_fits(plan):
             # fully-device random-barcode mode: dedup bytemap on HBM, no
             # host-side key traffic at all (SURVEY.md section 7, item 6)
             import jax.numpy as jnp
@@ -172,6 +173,34 @@ class CountAccumulator:
             self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
             self.bitmap = jnp.zeros(n_bytes, jnp.uint8)
             self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            return
+        if (
+            device_random_ok
+            and plan.scheme.random_slot.length <= 11  # 6^Lr < 2^31
+            and os.environ.get("NGS_DEVICE_DEDUP", "1") == "1"
+        ):
+            # combo space too large for the exact bytemap: open-addressing
+            # fingerprint table on device (ops/decode.py hash-set dedup);
+            # host only sees the rare probe-overflow rows
+            import jax
+            import jax.numpy as jnp
+
+            default_slots = (
+                (1 << 26)  # 256MB HBM: ~45M distinct triples at 70% load
+                if jax.devices()[0].platform != "cpu"
+                else (1 << 16)  # CPU tests: small table exercises overflow
+            )
+            n_slots = int(
+                os.environ.get("NGS_DEDUP_TABLE_SLOTS", default_slots)
+            )
+            self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
+            self.hashset = jnp.zeros(n_slots, jnp.uint32)
+            self.dense_state = jnp.zeros(
+                plan.n_samples * plan.n_combos, jnp.int32
+            )
+            self.dense_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            self._overflow_seen: set[int] = set()
+            self._overflow_counts: dict[int, int] = {}
             return
         if plan.dense_counts:
             self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
@@ -234,10 +263,11 @@ class CountAccumulator:
         return self._pallas_steps[width]
 
     def _pallas_keyed_step_for(self, width: int):
-        """Keyed-mode fused-kernel step (same gating as the dense one)."""
-        on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-        default = "xla" if on_relay else "pallas"
-        if os.environ.get("NGS_DECODE_KERNEL", default) != "pallas":
+        """Keyed-mode fused-kernel step.  Unlike the dense path, Pallas
+        wins on relay links too (measured 515k vs 468k reads/s e2e on
+        config 4): keyed decode is a bigger slice of the loop, so the
+        kernel speedup beats the lost transfer overlap."""
+        if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
             return None
         import jax
 
@@ -310,6 +340,25 @@ class CountAccumulator:
         axis and each device runs the kernel on its shard."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        if self.hashset is not None:
+            cap = max(pb.packed.shape[0] // 8, 1024)
+            pb.lengths = self._lengths_dev(pb.lengths)
+            if pb.quals is not None:
+                (self.hashset, self.dense_state, self.dense_counters,
+                 over, n_over) = dec.random_hashset_step_packed_q(
+                    plan, self.hashset, self.dense_state,
+                    self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
+                    pb.exc_val, pb.quals, pb.width, cap, n,
+                )
+            else:
+                (self.hashset, self.dense_state, self.dense_counters,
+                 over, n_over) = dec.random_hashset_step_packed(
+                    plan, self.hashset, self.dense_state,
+                    self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
+                    pb.exc_val, pb.width, cap, n,
+                )
+            self._push_overflow(over, n_over)
+            return
         if self.engine is not None:
             step = self._engine_packed_step_for(
                 pb.width, pb.quals is not None
@@ -371,8 +420,61 @@ class CountAccumulator:
                 )
             )
 
+    def _push_overflow(self, over, n_over) -> None:
+        """Pipeline the (rare) hash-set overflow fetch two batches deep,
+        like the keyed wire fetch."""
+        if not hasattr(self, "_pending_over"):
+            from collections import deque
+
+            self._pending_over = deque()
+        self._pending_over.append((over, n_over))
+        while len(self._pending_over) > 2:
+            self._harvest_overflow(*self._pending_over.popleft())
+
+    def _harvest_overflow(self, over, n_over) -> None:
+        """Exact host classification of probe-overflow triples: slots
+        never free, so every occurrence of an overflowed triple reaches
+        here and the host set is the complete truth for them."""
+        n = int(np.asarray(n_over)[0])
+        if n == 0:
+            return
+        cap = over.shape[0]
+        if n > cap:
+            raise RuntimeError(
+                f"dedup hash table overflow ({n} > cap {cap} in one "
+                "batch): the table is too full — raise "
+                "NGS_DEDUP_TABLE_SLOTS or set NGS_DEVICE_DEDUP=0"
+            )
+        rows = np.asarray(over[:n])
+        c6 = 6 ** self.plan.scheme.random_slot.length
+        keys = rows[:, 0].astype(np.uint64) * np.uint64(c6) + rows[
+            :, 1
+        ].astype(np.uint64)
+        n_new = n_dup = 0
+        seen = self._overflow_seen
+        counts = self._overflow_counts
+        for k, f in zip(keys.tolist(), rows[:, 0].tolist()):
+            if k in seen:
+                n_dup += 1
+            else:
+                seen.add(k)
+                counts[f] = counts.get(f, 0) + 1
+                n_new += 1
+        self.seq_errors.correct_match(n_new)
+        self.seq_errors.duplicated(n_dup)
+
     def step(self, batch: batcher_mod.ReadBatch) -> None:
         plan = self.plan
+        if self.hashset is not None:
+            cap = max(batch.bases.shape[0] // 8, 1024)
+            (self.hashset, self.dense_state, self.dense_counters,
+             over, n_over) = dec.random_hashset_step_unpacked(
+                plan, self.hashset, self.dense_state, self.dense_counters,
+                batch.bases, batch.quals, batch.lengths, batch.read_mask,
+                cap,
+            )
+            self._push_overflow(over, n_over)
+            return
         if self.bitmap is not None:
             self.bitmap, self.dense_counters = dec.random_bitmap_step(
                 plan, self.bitmap, self.dense_counters, batch.bases,
@@ -421,8 +523,11 @@ class CountAccumulator:
 
     def step_packed_keyed(self, pb) -> None:
         """Wire-format keyed step: packed bases up, ONE int32 wire matrix
-        down (a single device fetch per batch — round-trip latency, not
-        bytes, dominates the return path on relay links)."""
+        down.  Dispatch is pipelined two batches deep: the previous
+        batch's wire fetch (device-to-host, started async right after
+        dispatch) and its host-side key accumulation overlap the current
+        batch's upload + decode, so the loop pays max(link, decode,
+        host), not their sum."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         pb.lengths = self._lengths_dev(pb.lengths)
@@ -450,6 +555,31 @@ class CountAccumulator:
                 plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
                 pb.width, n,
             )
+        try:  # start the d2h copy now; harvest reads it when ready
+            out["wire"].copy_to_host_async()
+        except Exception:
+            pass
+        if not hasattr(self, "_pending_keyed"):
+            from collections import deque
+
+            self._pending_keyed = deque()
+        self._pending_keyed.append(out)
+        while len(self._pending_keyed) > 2:
+            self._harvest_keyed(self._pending_keyed.popleft())
+
+    def flush_pending(self) -> None:
+        """Drain pipelined keyed batches and hash-set overflow fetches
+        (end of run, or before a checkpoint snapshot so saved state
+        matches the saved offset)."""
+        pend = getattr(self, "_pending_keyed", None)
+        while pend:
+            self._harvest_keyed(pend.popleft())
+        pend = getattr(self, "_pending_over", None)
+        while pend:
+            self._harvest_overflow(*pend.popleft())
+
+    def _harvest_keyed(self, out) -> None:
+        plan = self.plan
         wire = np.asarray(out["wire"])  # the one big fetch
         layout = dec.keyed_wire_layout(plan)
 
@@ -497,6 +627,28 @@ class CountAccumulator:
             {"counters": out["counters"], "valid": valid}, cols, rnd
         )
 
+    @property
+    def _sc_bits(self):
+        """Combo bit-width when dense (sample, combo) key pairs pack into
+        ONE uint64 column (the hot random-barcode DEL case): every host
+        set-operation then runs on 1-D arrays.  None = unpackable or
+        multi-host triple mode (whose merge needs separate columns)."""
+        if getattr(self, "_sc_bits_cache", -1) != -1:
+            return self._sc_bits_cache
+        bits = None
+        plan = self.plan
+        if (
+            not self.triple_mode
+            and plan.dense_sample
+            and plan.dense_counted
+        ):
+            s_bits = max(int(plan.n_samples - 1).bit_length(), 1)
+            c_bits = max(int(plan.n_combos - 1).bit_length(), 1)
+            if s_bits + c_bits <= 63:
+                bits = c_bits
+        self._sc_bits_cache = bits
+        return bits
+
     def _accumulate_keyed(self, out, key_cols, rnd) -> None:
         self.seq_errors.add_vector(np.asarray(out["counters"]))
         valid = np.asarray(out["valid"])
@@ -505,6 +657,12 @@ class CountAccumulator:
             self.triple_valid += int(valid.sum())
             self.keyed.add_batch(key_cols + [rnd], valid)
             return
+        sc_bits = self._sc_bits
+        if sc_bits is not None and len(key_cols) == 2:
+            key_cols = [
+                (np.asarray(key_cols[0], np.uint64) << np.uint64(sc_bits))
+                | np.asarray(key_cols[1], np.uint64)
+            ]
         if self.dedup is not None and rnd is not None:
             new_mask = self.dedup.observe(key_cols + [rnd], valid)
             n_valid = int(valid.sum())
@@ -570,6 +728,16 @@ class CountAccumulator:
         """Block on outstanding device work, psum the sharded state if a
         mesh engine is active, and fold the device counter vector into the
         host stats (once per run, not per batch)."""
+        self.flush_pending()
+        if self.hashset is not None:
+            arr = np.asarray(self.dense_state).astype(np.int64)
+            for f, c in self._overflow_counts.items():
+                arr[f] += c
+            self.dense_state = arr
+            self.seq_errors.add_vector(np.asarray(self.dense_counters))
+            self.dense_counters = None
+            self.hashset = None
+            return
         if self.bitmap is not None:
             # popcount of the dedup bytemap IS the matched count; the
             # device MATCHED slot held valid reads until now
@@ -612,8 +780,10 @@ class CountAccumulator:
         if self.dense is not None:
             arr = self.dense.to_numpy(self.dense_state)
             n_samples, _ = arr.shape
+            sample_keys = []
             for s in range(n_samples):
                 key = self._sample_key_of_index(s)
+                sample_keys.append(key)
                 nz = np.flatnonzero(arr[s])
                 if len(nz) == 0:
                     per_sample.setdefault(key, {})
@@ -626,7 +796,13 @@ class CountAccumulator:
                         for j in range(len(idxs))
                     )
                     combos[code] = int(arr[s, nz[row]])
-            return ResultsView(per_sample)
+            return ResultsView(
+                per_sample,
+                dense_arr=arr.reshape(
+                    (n_samples,) + tuple(plan.combo_radix)
+                ),
+                dense_sample_keys=sample_keys,
+            )
 
         # keyed mode: unpack 3-bit keys back to DNA strings (interned
         # ids for slots longer than 21nt)
@@ -640,7 +816,11 @@ class CountAccumulator:
                 )
             return dna.decode(self.interned_sequences(tag, int(part)))
 
+        sc_bits = self._sc_bits
         for key, count in self.keyed.counts.items():
+            if sc_bits is not None and len(key) == 1:
+                sc = int(key[0])
+                key = (sc >> sc_bits, sc & ((1 << sc_bits) - 1))
             sample_part, rest = key[0], key[1:]
             if plan.dense_sample:
                 skey = self._sample_key_of_index(int(sample_part))
@@ -744,7 +924,11 @@ def decode_file(
         native_mod.available()
         and os.environ.get("NGS_FORCE_NUMPY_INGEST") != "1"
     )
-    use_packed = (plan.dense_counts or acc.bitmap is not None) and native_ok
+    use_packed = (
+        plan.dense_counts
+        or acc.bitmap is not None
+        or acc.hashset is not None
+    ) and native_ok
     # keyed wire path: 3-bit slot words fit a uint64 key only up to 21nt
     scheme_slots = [s.length for s in scheme.barcode_slots]
     if scheme.sample_slot is not None:
@@ -760,6 +944,7 @@ def decode_file(
         (
             use_packed
             and acc.bitmap is None
+            and acc.hashset is None
             and acc.engine is None  # sharded state shape is mesh-dependent
         )
         or use_packed_keyed
@@ -854,6 +1039,7 @@ def decode_file(
                 and time.perf_counter() - last_ckpt
                 >= config.checkpoint_interval_s
             ):
+                acc.flush_pending()  # saved state must match the offset
                 ckpt.save(
                     config.checkpoint_path, acc, pb.next_offset,
                     total_reads, fp,

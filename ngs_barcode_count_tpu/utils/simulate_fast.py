@@ -21,6 +21,7 @@ def generate_reads(
     flank_left: int = 4,
     flank_right: int = 6,
     sub_error_rate: float = 0.005,
+    qual_range: tuple[int, int] = (30, 41),
 ) -> tuple[np.ndarray, np.ndarray]:
     """Returns (seq_ascii [n, L] uint8, qual_ascii [n, L] uint8)."""
     F = scheme.length
@@ -67,7 +68,7 @@ def generate_reads(
         repl = _BASE_ASCII[rng.integers(0, 4, (n_reads, L))]
         seq = np.where(errs, repl, seq)
 
-    qual = rng.integers(30, 41, (n_reads, L)).astype(np.uint8) + 33
+    qual = rng.integers(*qual_range, (n_reads, L)).astype(np.uint8) + 33
     return seq, qual
 
 

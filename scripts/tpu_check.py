@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Compiled-kernel gate: on the real TPU, every fused Pallas kernel must
+produce bit-identical results to the XLA decode path on a large
+synthetic workload (interpret-mode tests cannot catch Mosaic
+miscompiles — two were found in round 1: argmin tie order and a
+per-lane shift/OR chain).
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/tpu_check.py
+Writes TPU_CHECK.json at the repo root: per-config equality + a counts
+hash, so kernel regressions cannot land silently.
+"""
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+N_READS = int(os.environ.get("NGS_TPU_CHECK_READS", 2_000_000))
+BATCH = 1 << 19
+
+
+def _inputs(random_barcode: bool):
+    from ngs_barcode_count_tpu.conversions import BarcodeConversions
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    scheme_text = (
+        "[10]\nAGCTACGAATCG\n{6}\nTGGA\n{6}\nTGGA\n{6}\nACTAGAT\n"
+        + ("(8)\n" if random_barcode else "")
+        + "TAGA\n"
+    )
+    scheme = parse_scheme_text(scheme_text)
+    rng = np.random.default_rng(7)
+    samples = ["AGCATACGTT", "AACTTACCAT", "TTGGCATCAG", "CGATTACAGT"]
+    sets = []
+    for _ in range(3):
+        seen = set()
+        while len(seen) < 96:
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, 6)))
+        sets.append(sorted(seen))
+    conv = BarcodeConversions()
+    conv.samples_barcode_hash = {s: f"S{i}" for i, s in enumerate(samples)}
+    from ngs_barcode_count_tpu.conversions import BarcodeSet
+
+    conv.sample_set = BarcodeSet.from_pairs(
+        [(s, f"S{i}") for i, s in enumerate(samples)], 10
+    )
+    conv.counted_barcodes_hash = [
+        {b: f"B{i}_{j}" for j, b in enumerate(s)} for i, s in enumerate(sets)
+    ]
+    conv.counted_sets = [
+        BarcodeSet.from_pairs([(b, f"B{i}_{j}") for j, b in enumerate(s)], 6)
+        for i, s in enumerate(sets)
+    ]
+    return scheme, conv, samples, sets
+
+
+def _gen_fastq(workdir, scheme, samples, sets, n_reads, tag):
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    path = os.path.join(workdir, f"tpucheck_{tag}_{n_reads}.fastq")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(11)
+    left = n_reads
+    first = True
+    while left > 0:
+        n = min(1_000_000, left)
+        seq, qual = simulate_fast.generate_reads(
+            rng, scheme, n, samples, sets, sub_error_rate=0.02,
+            qual_range=(22, 41),  # some segment means below 30: the
+            # quality-gated config must actually reject reads
+        )
+        simulate_fast.write_fastq_bytes(path, seq, qual, append=not first)
+        first = False
+        left -= n
+    return path
+
+
+def _check_dense(workdir, min_quality, results):
+    import jax
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, conv, samples, sets = _inputs(random_barcode=False)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length,
+        min_quality,
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "dense2")
+    print(f"[tpu_check] dense q={min_quality}: fastq ready", flush=True)
+
+    import jax.numpy as jnp
+
+    n_flat = plan.n_samples * plan.n_combos
+    cx = jnp.zeros(n_flat, jnp.int32)
+    ctrx = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    cp = jnp.zeros(n_flat, jnp.int32)
+    ctrp = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    pstep = None
+    total = 0
+    for pb in read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=BATCH,
+        with_quals=min_quality > 0,
+    ):
+        n = np.array([pb.n_reads], np.int32)
+        if pstep is None:
+            pstep = pdec.build_pallas_packed_step(plan, pb.width)
+        if min_quality > 0:
+            cx, ctrx = dec.dense_count_step_packed_q(
+                plan, cx, ctrx, pb.packed, pb.lengths, pb.exc_idx,
+                pb.exc_val, pb.quals, pb.width, n,
+            )
+            cp, ctrp = pstep(
+                cp, ctrp, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                n, pb.quals,
+            )
+        else:
+            cx, ctrx = dec.dense_count_step_packed(
+                plan, cx, ctrx, pb.packed, pb.lengths, pb.exc_idx,
+                pb.exc_val, pb.width, n,
+            )
+            cp, ctrp = pstep(
+                cp, ctrp, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n,
+            )
+        total += pb.n_reads
+        print(f"[tpu_check] dense q={min_quality}: {total} reads", flush=True)
+    cx, ctrx, cp, ctrp = (np.asarray(a) for a in (cx, ctrx, cp, ctrp))
+    eq = bool((cx == cp).all() and (ctrx == ctrp).all())
+    tag = f"dense_q{int(min_quality)}"
+    results[tag] = {
+        "equal": eq,
+        "n_reads": total,
+        "counts_sha256": hashlib.sha256(cx.tobytes()).hexdigest()[:16],
+        "counters": ctrx.tolist(),
+    }
+    if not eq:
+        d = np.flatnonzero(cx != cp)
+        results[tag]["first_diffs"] = [
+            [int(i), int(cx[i]), int(cp[i])] for i in d[:5]
+        ]
+
+
+def _check_keyed(workdir, results):
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, conv, samples, sets = _inputs(random_barcode=True)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "random2")
+
+    pstep = None
+    eq = True
+    total = 0
+    h = hashlib.sha256()
+    for pb in read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=BATCH,
+    ):
+        n = np.array([pb.n_reads], np.int32)
+        if pstep is None:
+            pstep = pdec.build_pallas_keyed_packed_step(plan, pb.width)
+        ox = dec.keyed_decode_step_packed(
+            plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n
+        )
+        op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
+        wx, wp = np.asarray(ox["wire"]), np.asarray(op["wire"])
+        kx, kp = np.asarray(ox["counters"]), np.asarray(op["counters"])
+        if not ((wx == wp).all() and (kx == kp).all()):
+            eq = False
+            d = np.argwhere(wx != wp)
+            results.setdefault("keyed_first_diffs", [
+                [int(r), int(c), int(wx[r, c]), int(wp[r, c])]
+                for r, c in d[:5]
+            ])
+        h.update(wx.tobytes())
+        total += pb.n_reads
+        print(f"[tpu_check] keyed: {total} reads", flush=True)
+    results["keyed_random"] = {
+        "equal": eq,
+        "n_reads": total,
+        "wire_sha256": h.hexdigest()[:16],
+    }
+
+
+def main():
+    import jax
+
+    workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
+    os.makedirs(workdir, exist_ok=True)
+    assert jax.devices()[0].platform != "cpu", "tpu_check needs a TPU"
+    from ngs_barcode_count_tpu.runner import _enable_compile_cache
+
+    _enable_compile_cache()
+    results = {
+        "platform": jax.devices()[0].platform,
+        "n_reads_per_config": N_READS,
+        "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    _check_dense(workdir, 0.0, results)
+    _check_dense(workdir, 30.0, results)
+    _check_keyed(workdir, results)
+    ok = all(
+        v.get("equal", True) for v in results.values() if isinstance(v, dict)
+    )
+    results["ok"] = ok
+    with open(os.path.join(ROOT, "TPU_CHECK.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,3 +109,31 @@ def test_bgzf_through_parallel_ingest(tmp_path, rng, monkeypatch):
         bgzf.read_fastq_bgzf_parallel(str(p), batch_reads=128, n_threads=4)
     )
     assert sorted(got) == sorted(reads)
+
+
+def test_bgzf_member_range_partition(tmp_path, rng):
+    """Two member-range halves (the multi-host split) recover exactly
+    the records of a whole-file read, once each."""
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    reads = [simulate.random_seq(rng, int(rng.integers(30, 70)))
+             for _ in range(801)]
+    text = "".join(
+        f"@r{i}\n{r}\n+\n{'I' * len(r)}\n" for i, r in enumerate(reads)
+    ).encode()
+    p = tmp_path / "x.fastq.gz"
+    write_bgzf(str(p), text, block=700)
+    import os
+    size = os.path.getsize(p)
+
+    whole = _decode_all(read_fastq_packed_parallel(str(p), batch_reads=64))
+    halves = []
+    for h in range(2):
+        br = (size * h // 2, size * (h + 1) // 2)
+        halves += _decode_all(read_fastq_packed_parallel(
+            str(p), batch_reads=64, byte_range=br, n_threads=2,
+        ))
+    assert sorted(halves) == sorted(whole)
+    assert sorted(whole) == sorted(reads)

@@ -122,6 +122,7 @@ def test_keyed_checkpoint_resume_equals_full_run(tmp_path, rng):
             assert pb.next_offset > 0
             offset = pb.next_offset
             break
+    acc_a.flush_pending()  # drain the keyed pipeline before snapshotting
     ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
 
     cfg.resume = True

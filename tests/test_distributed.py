@@ -119,3 +119,33 @@ def test_multi_device_keyed_equals_single(tmp_path, rng):
         acc1.seq_errors.counters, acc8.seq_errors.counters
     )
     assert acc1.results_view().per_sample == acc8.results_view().per_sample
+
+
+@pytest.mark.skipif(not native.available(), reason="native codec not built")
+def test_sub_byte_range_nested_partition(tmp_path, rng):
+    """Thread sub-ranges carved inside a host range tile it exactly, and
+    the packed byte_range reader over those sub-ranges recovers every
+    record of the host's share once."""
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    reads = [simulate.random_seq(rng, int(rng.integers(30, 80)))
+             for _ in range(903)]
+    p = str(tmp_path / "x.fastq")
+    simulate.write_fastq(p, reads)
+
+    host_ranges = [dist.host_byte_range(p, h, 2) for h in range(2)]
+    total = 0
+    for start, end in host_ranges:
+        subs = [dist.sub_byte_range(p, start, end, t, 3) for t in range(3)]
+        assert subs[0][0] == start and subs[-1][1] == end
+        for a, b in zip(subs, subs[1:]):
+            assert a[1] == b[0]
+        n_range = 0
+        for pb in read_fastq_packed_parallel(
+            p, batch_reads=64, byte_range=(start, end), n_threads=2
+        ):
+            n_range += pb.n_reads
+        total += n_range
+    assert total == len(reads)

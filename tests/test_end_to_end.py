@@ -407,3 +407,60 @@ def test_barseq_long_raw_barcode(tmp_path, rng):
     assert all(
         len(k) == 30 for k in result.results.per_sample["barcode"]
     )
+
+
+
+def test_device_hashset_dedup_equals_host_keyed(tmp_path, rng, monkeypatch):
+    """The device hash-set dedup (big-combo random mode) must match the
+    host keyed+dedup path exactly — including with a tiny table that
+    forces probe chains and host overflow handling."""
+    from tests.test_end_to_end import (
+        SCHEME_RANDOM_TEXT, gen_fastq, write_inputs, _mk_config,
+    )
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, decode_file, setup,
+    )
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    # few distinct randoms -> plenty of true PCR duplicates
+    fq = tmp_path / "r.fastq"
+    reads, quals = [], []
+    randoms = ["ACGTACGT", "TTGGCCAA", "AAAATTTT", "CGCGCGCG"]
+    from tests.test_end_to_end import SAMPLES, BC1, BC2, BC3
+    for _ in range(900):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 3)] for s in (BC1, BC2, BC3)],
+            random_barcode=randoms[rng.integers(0, len(randoms))],
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 6)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    cfg.batch_size = 128
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    # 64-slot table: probing and overflow both fire constantly
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc_dev = CountAccumulator(plan, conv)
+    assert acc_dev.hashset is not None
+    n_dev = decode_file(cfg, plan, scheme, acc_dev)
+    acc_dev.finalize()
+
+    acc_host = CountAccumulator(plan, conv, allow_bitmap=False)
+    assert acc_host.keyed is not None and acc_host.dedup is not None
+    n_host = decode_file(cfg, plan, scheme, acc_host)
+    acc_host.finalize()
+
+    assert n_dev == n_host == 900
+    np.testing.assert_array_equal(
+        acc_dev.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc_dev.results_view().per_sample == \
+        acc_host.results_view().per_sample

@@ -77,7 +77,7 @@ def test_run_multihost_rejects_gz(tmp_path, rng):
     fq, *_ = gen_fastq(tmp_path, scheme, 50, rng, gz=True)
     cfg = _mk_config(tmp_path, fq, paths)
     scheme, conv, me, plan, _ = setup(cfg)
-    with pytest.raises(ValueError, match="plain FASTQ"):
+    with pytest.raises(ValueError, match="plain or BGZF"):
         multihost.run_multihost(cfg, plan, scheme, conv)
 
 

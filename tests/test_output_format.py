@@ -2,6 +2,7 @@
 rules (output.rs:184-196), merged demotion, enrichment marginals."""
 
 import datetime as dt
+import os
 
 import numpy as np
 import pytest
@@ -131,3 +132,61 @@ def test_stats_file_golden(tmp_path):
         "File & barcodes counted: G_S1_counts.csv\t1\n"
         "\n" + "-" * 98 + "\n\n\n"
     )
+
+
+def test_dense_enrichment_fast_path_equals_row_walk(tmp_path, rng):
+    """The tensor-marginal enrichment (dense fast path) must produce the
+    exact single/double hashmaps of the per-row accumulation."""
+    import copy
+
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, decode_file, setup,
+    )
+    from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 600, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.enrich = True
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    results = acc.results_view()
+    assert results.dense_arr is not None
+
+    wc = WriterConfig(
+        fastq=cfg.fastq, format=cfg.format,
+        sample_barcodes_option=cfg.sample_barcodes_option,
+        counted_barcodes_option=cfg.counted_barcodes_option,
+        output_dir=str(tmp_path / "fast"), prefix="t",
+        merge_output=False, enrich=True,
+    )
+    (tmp_path / "fast").mkdir()
+    (tmp_path / "slow").mkdir()
+    w_fast = WriteFiles(
+        results, scheme, conv.counted_barcodes_hash,
+        conv.samples_barcode_hash, wc,
+    )
+    w_fast.write_counts_files()
+    assert w_fast._enrich_precomputed
+
+    slow_results = copy.copy(results)
+    slow_results.dense_arr = None
+    wc2 = copy.copy(wc)
+    wc2.output_dir = str(tmp_path / "slow")
+    w_slow = WriteFiles(
+        slow_results, scheme, conv.counted_barcodes_hash,
+        conv.samples_barcode_hash, wc2,
+    )
+    w_slow.write_counts_files()
+    assert not w_slow._enrich_precomputed
+
+    assert w_fast.enriched.single_hashmap == w_slow.enriched.single_hashmap
+    assert w_fast.enriched.double_hashmap == w_slow.enriched.double_hashmap
+    for f in sorted(os.listdir(tmp_path / "fast")):
+        a = open(tmp_path / "fast" / f).read()
+        b = open(tmp_path / "slow" / f).read()
+        assert a == b, f
