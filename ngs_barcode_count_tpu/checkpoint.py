@@ -57,6 +57,19 @@ def save(path: str, acc, byte_offset: int, total_reads: int,
     if acc.dense_state is not None:
         state["counts"] = np.asarray(acc.dense_state)
         state["counters"] = np.asarray(acc.dense_counters)
+    if getattr(acc, "hashset", None) is not None:
+        state["hash_table"] = np.asarray(acc.hashset)
+        blob = {
+            "overflow_seen": np.fromiter(
+                acc._overflow_seen, dtype=np.uint64,
+                count=len(acc._overflow_seen),
+            ),
+            "overflow_counts": acc._overflow_counts,
+            "host_counters": acc.seq_errors.counters,
+        }
+        state["hashset_pickle"] = np.frombuffer(
+            pickle.dumps(blob), dtype=np.uint8
+        )
     if acc.keyed is not None:
         blob = {
             "counts": acc.keyed.counts,
@@ -90,6 +103,27 @@ def load(path: str, acc, fingerprint: str) -> tuple[int, int]:
 
             acc.dense_state = jnp.asarray(z["counts"])
             acc.dense_counters = jnp.asarray(z["counters"])
+        if "hash_table" in z:
+            import jax.numpy as jnp
+
+            if getattr(acc, "hashset", None) is None:
+                raise ValueError(
+                    "checkpoint holds a device dedup table but this run "
+                    "selected a different random mode (check "
+                    "NGS_DEVICE_DEDUP / NGS_BITMAP_LIMIT_BYTES)"
+                )
+            if z["hash_table"].shape != tuple(acc.hashset.shape):
+                raise ValueError(
+                    "checkpointed dedup table has "
+                    f"{z['hash_table'].shape[0]} slots but this run uses "
+                    f"{acc.hashset.shape[0]} (NGS_DEDUP_TABLE_SLOTS "
+                    "changed)"
+                )
+            acc.hashset = jnp.asarray(z["hash_table"])
+            blob = pickle.loads(bytes(z["hashset_pickle"]))
+            acc._overflow_seen = set(blob["overflow_seen"].tolist())
+            acc._overflow_counts = dict(blob["overflow_counts"])
+            acc.seq_errors.counters = blob["host_counters"]
         if "keyed_pickle" in z:
             blob = pickle.loads(bytes(z["keyed_pickle"]))
             acc.keyed.counts = blob["counts"]

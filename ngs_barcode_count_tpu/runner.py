@@ -116,7 +116,12 @@ class CountAccumulator:
         devices=None,
         triple_mode: bool = False,
         n_model: int = 1,
+        allow_device_dedup: bool | None = None,
     ):
+        # the hash-set dedup checkpoints (256MB table); the bytemap does
+        # not (up to 2GB) — so checkpointing runs disable only the bytemap
+        if allow_device_dedup is None:
+            allow_device_dedup = allow_bitmap
         self.plan = plan
         self.conv = conversions
         self.n_devices = n_devices
@@ -157,13 +162,12 @@ class CountAccumulator:
         self.bitmap = None
         self.hashset = None
         device_random_ok = (
-            allow_bitmap  # same gate: device structures, no checkpointing
-            and n_devices == 1
+            n_devices == 1
             and plan.scheme.random_barcode
             and plan.dense_sample
             and plan.dense_counted
         )
-        if device_random_ok and _bitmap_fits(plan):
+        if device_random_ok and allow_bitmap and _bitmap_fits(plan):
             # fully-device random-barcode mode: dedup bytemap on HBM, no
             # host-side key traffic at all (SURVEY.md section 7, item 6)
             import jax.numpy as jnp
@@ -176,6 +180,7 @@ class CountAccumulator:
             return
         if (
             device_random_ok
+            and allow_device_dedup
             and plan.scheme.random_slot.length <= 11  # 6^Lr < 2^31
             and os.environ.get("NGS_DEVICE_DEDUP", "1") == "1"
         ):
@@ -944,7 +949,6 @@ def decode_file(
         (
             use_packed
             and acc.bitmap is None
-            and acc.hashset is None
             and acc.engine is None  # sharded state shape is mesh-dependent
         )
         or use_packed_keyed
@@ -1000,6 +1004,7 @@ def decode_file(
                 and time.perf_counter() - last_ckpt
                 >= config.checkpoint_interval_s
             ):
+                acc.flush_pending()  # hashset overflow pipeline
                 ckpt.save(
                     config.checkpoint_path, acc, pb.next_offset,
                     total_reads, fp,
@@ -1152,6 +1157,7 @@ def run(config: RunConfig) -> RunResult:
     acc = CountAccumulator(
         plan, conv, n_devices=n_devices,
         allow_bitmap=not (config.checkpoint_interval_s > 0 or config.resume),
+        allow_device_dedup=True,  # the hash table checkpoints fine
         n_model=config.model_shards,
     )
     t0 = time.perf_counter()

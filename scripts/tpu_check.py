@@ -140,16 +140,26 @@ def _check_dense(workdir, min_quality, results):
             )
         total += pb.n_reads
         print(f"[tpu_check] dense q={min_quality}: {total} reads", flush=True)
-    cx, ctrx, cp, ctrp = (np.asarray(a) for a in (cx, ctrx, cp, ctrp))
-    eq = bool((cx == cp).all() and (ctrx == ctrp).all())
+    # compare ON DEVICE; fetch scalars only (a full counts fetch costs
+    # minutes at slow relay phases).  The pinned artifact is a weighted
+    # checksum, stable across runs of the same inputs.
+    import jax.numpy as jnp
+
+    eq = bool(jnp.array_equal(cx, cp)) and bool(jnp.array_equal(ctrx, ctrp))
+    iota = jnp.arange(cx.shape[0], dtype=jnp.uint32)
+    csum = int(
+        jnp.sum(cx.astype(jnp.uint32) * (iota * np.uint32(2654435761)))
+    )
+    ctrx = np.asarray(ctrx)
     tag = f"dense_q{int(min_quality)}"
     results[tag] = {
         "equal": eq,
         "n_reads": total,
-        "counts_sha256": hashlib.sha256(cx.tobytes()).hexdigest()[:16],
+        "counts_checksum": csum,
         "counters": ctrx.tolist(),
     }
     if not eq:
+        cx, cp = np.asarray(cx), np.asarray(cp)
         d = np.flatnonzero(cx != cp)
         results[tag]["first_diffs"] = [
             [int(i), int(cx[i]), int(cp[i])] for i in d[:5]
@@ -174,10 +184,12 @@ def _check_keyed(workdir, results):
     plan = dec.make_plan(scheme, conv, me)
     fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "random2")
 
+    import jax.numpy as jnp
+
     pstep = None
     eq = True
     total = 0
-    h = hashlib.sha256()
+    h = 0
     for pb in read_fastq_packed_parallel(
         fq, min_width=scheme.length, batch_reads=BATCH,
     ):
@@ -188,22 +200,26 @@ def _check_keyed(workdir, results):
             plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n
         )
         op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
-        wx, wp = np.asarray(ox["wire"]), np.asarray(op["wire"])
-        kx, kp = np.asarray(ox["counters"]), np.asarray(op["counters"])
-        if not ((wx == wp).all() and (kx == kp).all()):
+        beq = bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
+            jnp.array_equal(ox["counters"], op["counters"])
+        )
+        if not beq:
             eq = False
+            wx, wp = np.asarray(ox["wire"]), np.asarray(op["wire"])
             d = np.argwhere(wx != wp)
             results.setdefault("keyed_first_diffs", [
                 [int(r), int(c), int(wx[r, c]), int(wp[r, c])]
                 for r, c in d[:5]
             ])
-        h.update(wx.tobytes())
+        w32 = ox["wire"].astype(jnp.uint32)
+        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
         total += pb.n_reads
         print(f"[tpu_check] keyed: {total} reads", flush=True)
     results["keyed_random"] = {
         "equal": eq,
         "n_reads": total,
-        "wire_sha256": h.hexdigest()[:16],
+        "wire_checksum": h,
     }
 
 

@@ -136,3 +136,58 @@ def test_keyed_checkpoint_resume_equals_full_run(tmp_path, rng):
         acc_b.seq_errors.counters, acc_full.seq_errors.counters
     )
     assert acc_b.keyed.counts == acc_full.keyed.counts
+
+
+def test_hashset_checkpoint_resume_equals_full_run(tmp_path, rng, monkeypatch):
+    """Device hash-set random mode checkpoints too: table, counts, and
+    host overflow state all round-trip (tiny table so overflow state is
+    non-trivial)."""
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT
+
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "128")
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 1000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_full = CountAccumulator(plan, conv)
+    assert acc_full.hashset is not None
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    from ngs_barcode_count_tpu.io import native as native_mod
+
+    acc_a = CountAccumulator(plan, conv)
+    assert acc_a.hashset is not None
+    fp = ckpt.config_fingerprint(cfg)
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(
+        native_mod.read_fastq_native_packed(
+            cfg.fastq, min_width=scheme.length, batch_reads=cfg.batch_size
+        )
+    ):
+        acc_a.step_packed(pb)
+        total_a += pb.n_reads
+        if i == 2:
+            offset = pb.next_offset
+            break
+    acc_a.flush_pending()
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    cfg.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full == 1000
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
