@@ -37,8 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-t", "--threads", type=int, default=0,
-        help="Accepted for reference CLI compatibility; ignored "
-        "(parallelism comes from the device mesh)",
+        help="Number of FASTQ reader threads (0 = auto). Device "
+        "parallelism comes from the mesh; this caps the host ingest "
+        "pool, the analog of the reference's worker threads",
     )
     p.add_argument(
         "-o", "--output-dir", default="./",
@@ -143,6 +144,7 @@ def main(argv: list[str] | None = None) -> int:
     config = RunConfig(
         fastq=args.fastq,
         format=args.format,
+        threads=args.threads,
         sample_barcodes_option=args.sample_barcodes,
         counted_barcodes_option=args.counted_barcodes,
         output_dir=args.output_dir,

@@ -54,7 +54,9 @@ class RunConfig:
     sample_errors_option: int | None = None
     constant_errors_option: int | None = None
     min_average_quality_score: float = 0.0
-    # TPU knobs (no reference equivalent: replaces --threads)
+    # The reference's --threads maps onto the ingest reader pool here
+    # (device parallelism comes from the mesh; 0 = auto)
+    threads: int = 0
     batch_size: int = 1 << 17
     n_devices: int = 0  # 0 = all local devices
     # model-parallel candidate sharding: devices factor as
@@ -985,7 +987,9 @@ def decode_file(
         fp = ckpt.config_fingerprint(config) if checkpointing else ""
         last_ckpt = time.perf_counter()
         # checkpointing needs deterministic byte offsets: single reader
-        n_threads = 1 if (checkpointing or config.resume) else 0
+        n_threads = (
+            1 if (checkpointing or config.resume) else config.threads
+        )
         for pb in read_fastq_packed_parallel(
             config.fastq,
             min_width=min_width,
@@ -1025,7 +1029,9 @@ def decode_file(
         fp = ckpt.config_fingerprint(config) if checkpointing else ""
         last_ckpt = time.perf_counter()
         # deterministic offsets for checkpoint/resume: single reader
-        n_threads = 1 if (checkpointing or config.resume) else 0
+        n_threads = (
+            1 if (checkpointing or config.resume) else config.threads
+        )
         for pb in read_fastq_packed_parallel(
             config.fastq,
             min_width=min_width,
