@@ -93,6 +93,17 @@ def prepare_inputs(workdir: str, n_reads: int):
     return fastq_path, scheme_path, samples_path, barcodes_path
 
 
+
+
+def _rowmajor(pb):
+    """Direct PackedReads consumers: undo the col-major wire layout."""
+    if getattr(pb, "transposed", False):
+        import numpy as _np
+
+        pb.packed = _np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    return pb
+
 def main():
     n_reads = int(os.environ.get("NGS_BENCH_READS", 10_000_000))
     batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
@@ -150,9 +161,9 @@ def main():
     )
     from ngs_barcode_count_tpu.ops import decode as dec
 
-    pb = next(iter(read_fastq_packed_parallel(
+    pb = _rowmajor(next(iter(read_fastq_packed_parallel(
         fastq, min_width=scheme.length, batch_reads=batch_size,
-    )))
+    ))))
     d_packed = jax.device_put(pb.packed)
     d_lengths = jax.device_put(pb.lengths)
     d_exc_i = jax.device_put(pb.exc_idx)

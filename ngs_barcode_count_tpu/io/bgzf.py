@@ -231,11 +231,15 @@ def read_fastq_bgzf_parallel(
             if not h:
                 raise IOError("fastq_open_mem failed")
             try:
+                from ngs_barcode_count_tpu.io.parallel_ingest import (
+                    _maybe_transpose,
+                )
+
                 for pb in _drain_packed(lib, h, batch_reads, width,
                                         with_quals):
                     if stop.is_set():
                         return
-                    q.put(pb)
+                    q.put(_maybe_transpose(pb))
             finally:
                 lib.fastq_close(h)
         except BaseException as e:

@@ -33,10 +33,10 @@ class PackedReads:
     is None when the quality gate is off."""
 
     __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
-                 "n_reads", "width", "next_offset")
+                 "n_reads", "width", "next_offset", "transposed")
 
     def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
-                 width, next_offset=-1):
+                 width, next_offset=-1, transposed=False):
         self.packed = packed
         self.lengths = lengths
         self.exc_idx = exc_idx
@@ -47,6 +47,8 @@ class PackedReads:
         # byte offset of the next unread record (-1 when unknown):
         # checkpoint/resume restarts ingest exactly here
         self.next_offset = next_offset
+        # column-major wire layout (see parallel_ingest._maybe_transpose)
+        self.transposed = transposed
 
 
 def _build() -> bool:

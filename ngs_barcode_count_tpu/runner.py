@@ -308,6 +308,20 @@ class CountAccumulator:
         if pb.quals is not None:
             pb.quals = jax.device_put(pb.quals, sh["rows2"])
 
+    def _untranspose(self, pb) -> None:
+        """Column-major wire batches (NGS_WIRE_LAYOUT=col) transpose back
+        on device: the link transfer already happened in the
+        compression-friendly layout; the device-side transpose is a
+        ~0.1ms copy."""
+        if not getattr(pb, "transposed", False):
+            return
+        if not hasattr(self, "_untranspose_fn"):
+            import jax
+
+            self._untranspose_fn = jax.jit(lambda p: p.T)
+        pb.packed = self._untranspose_fn(pb.packed)
+        pb.transposed = False
+
     def _lengths_dev(self, lengths: np.ndarray):
         """Illumina batches usually have one uniform read length: cache
         the device copy per (value, batch) so repeat batches ship zero
@@ -347,6 +361,7 @@ class CountAccumulator:
         axis and each device runs the kernel on its shard."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        self._untranspose(pb)
         if self.hashset is not None:
             cap = max(pb.packed.shape[0] // 8, 1024)
             pb.lengths = self._lengths_dev(pb.lengths)
@@ -537,6 +552,7 @@ class CountAccumulator:
         host), not their sum."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
+        self._untranspose(pb)
         pb.lengths = self._lengths_dev(pb.lengths)
         self._shard_packed(pb)
         # pallas_call under auto-SPMD jit with sharded inputs is at best

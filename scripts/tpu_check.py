@@ -85,6 +85,17 @@ def _gen_fastq(workdir, scheme, samples, sets, n_reads, tag):
     return path
 
 
+
+
+def _rowmajor(pb):
+    """Direct PackedReads consumers: undo the col-major wire layout."""
+    if getattr(pb, "transposed", False):
+        import numpy as _np
+
+        pb.packed = _np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    return pb
+
 def _check_dense(workdir, min_quality, results):
     import jax
 
@@ -118,6 +129,7 @@ def _check_dense(workdir, min_quality, results):
         fq, min_width=scheme.length, batch_reads=BATCH,
         with_quals=min_quality > 0,
     ):
+        pb = _rowmajor(pb)
         n = np.array([pb.n_reads], np.int32)
         if pstep is None:
             pstep = pdec.build_pallas_packed_step(plan, pb.width)
@@ -193,6 +205,7 @@ def _check_keyed(workdir, results):
     for pb in read_fastq_packed_parallel(
         fq, min_width=scheme.length, batch_reads=BATCH,
     ):
+        pb = _rowmajor(pb)
         n = np.array([pb.n_reads], np.int32)
         if pstep is None:
             pstep = pdec.build_pallas_keyed_packed_step(plan, pb.width)

@@ -42,9 +42,12 @@ def _decode_all(pbs):
     import jax
 
     for pb in pbs:
+        packed = (
+            np.ascontiguousarray(pb.packed.T) if pb.transposed else pb.packed
+        )
         bases = np.asarray(
             jax.jit(unpack_bases, static_argnums=3)(
-                pb.packed, pb.exc_idx, pb.exc_val, pb.width
+                packed, pb.exc_idx, pb.exc_val, pb.width
             )
         )
         for i in range(pb.n_reads):

@@ -184,3 +184,35 @@ def test_packed_sharded_engine_equals_single(tmp_path, rng, min_quality):
     np.testing.assert_array_equal(
         np.asarray(acc1.dense_state), np.asarray(acc4.dense_state)
     )
+
+
+def test_col_major_wire_equals_row(tmp_path, rng, monkeypatch):
+    """NGS_WIRE_LAYOUT=col ships the packed matrix transposed (relay
+    compression likes aligned columns); counts must be identical."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, conv, me, plan, _ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 600, rng)
+    noisy = _noisy(reads, rng)
+    fq2 = str(tmp_path / "noisy.fastq")
+    simulate.write_fastq(fq2, noisy, quals)
+    cfg = _mk_config(tmp_path, fq2, paths)
+    cfg.batch_size = 128
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc_row = CountAccumulator(plan, conv)
+    n1 = decode_file(cfg, plan, scheme, acc_row)
+    acc_row.finalize()
+
+    monkeypatch.setenv("NGS_WIRE_LAYOUT", "col")
+    acc_col = CountAccumulator(plan, conv)
+    n2 = decode_file(cfg, plan, scheme, acc_col)
+    acc_col.finalize()
+
+    assert n1 == n2 == len(noisy)
+    np.testing.assert_array_equal(
+        acc_row.seq_errors.counters, acc_col.seq_errors.counters
+    )
+    np.testing.assert_array_equal(
+        np.asarray(acc_row.dense_state), np.asarray(acc_col.dense_state)
+    )
