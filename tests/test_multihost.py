@@ -114,14 +114,14 @@ _WORKER = textwrap.dedent(
 )
 
 
-def _spawn_two_process_run(tmp_path, cfg, port):
+def _spawn_two_process_run(tmp_path, cfg, port, devices_per_host=1):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prog = _WORKER % {"repo": repo}
     env = {
         k: v for k, v in os.environ.items()
         if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
     }
-    env["JAX_NUM_CPU_DEVICES"] = "1"
+    env["JAX_NUM_CPU_DEVICES"] = str(devices_per_host)
     procs = [
         subprocess.Popen(
             [
@@ -185,3 +185,32 @@ def test_two_process_distributed_run(tmp_path, rng, random_scheme):
     assert not any(
         f.endswith(".csv") for f in os.listdir(tmp_path / "out1")
     )
+
+
+def test_two_process_with_local_mesh(tmp_path, rng):
+    """2 hosts x 2 local devices each: every host runs the sharded
+    packed engine over its local mesh inside the multi-host run; merged
+    CSVs must still equal the single-process run."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 601, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.merge_output = True
+
+    (tmp_path / "out0").mkdir()
+    (tmp_path / "out1").mkdir()
+    (tmp_path / "single").mkdir()
+    port = 29700 + (os.getpid() % 97)
+    _spawn_two_process_run(tmp_path, cfg, port, devices_per_host=2)
+
+    cfg.output_dir = str(tmp_path / "single")
+    cfg.prefix = "mh"
+    run(cfg)
+    for f in sorted(os.listdir(tmp_path / "single")):
+        if not f.endswith(".csv"):
+            continue
+        a = sorted(open(tmp_path / "single" / f).read().splitlines())
+        b = sorted(open(tmp_path / "out0" / f).read().splitlines())
+        assert a == b, f
