@@ -939,7 +939,9 @@ def decode_file(
     gate is off); everything else goes through the EncodedReads batcher.
     """
     from ngs_barcode_count_tpu.io import native as native_mod
+    from ngs_barcode_count_tpu.utils.tracing import Throughput
 
+    meter = Throughput()  # logs per batch when NGS_TRACE=1
     min_width = scheme.length
     total_reads = 0
     n_batches = 0
@@ -1018,6 +1020,7 @@ def decode_file(
             acc.step_packed(pb)
             total_reads += pb.n_reads
             n_batches += 1
+            meter.update(pb.n_reads)
             if (
                 checkpointing
                 and pb.next_offset >= 0
@@ -1060,6 +1063,7 @@ def decode_file(
             acc.step_packed_keyed(pb)
             total_reads += pb.n_reads
             n_batches += 1
+            meter.update(pb.n_reads)
             if (
                 checkpointing
                 and pb.next_offset >= 0
@@ -1101,6 +1105,7 @@ def decode_file(
             acc.step(batch)
             total_reads += batch.n_reads
             n_batches += 1
+            meter.update(batch.n_reads)
             if limit_batches and n_batches >= limit_batches:
                 break
             if config.progress:
