@@ -1,0 +1,264 @@
+"""Sharded device hash-set dedup: random-barcode PCR dedup that scales
+over the data mesh (the multi-chip form of ops/decode.py's
+single-device fingerprint table).
+
+Topology per step, entirely inside one ``shard_map`` call:
+
+1. each device decodes ITS shard of the packed batch (same wire format
+   as the dense engine);
+2. every valid read's (sample, combo, random) triple hashes to a global
+   slot; the slot's OWNER device is ``slot // S_local``.  Reads
+   bucketize by owner and ONE ``all_to_all`` routes (slot, fp, flat,
+   ridx) tuples to their owners — nothing ever routes back: counts and
+   matched/duplicate tallies accumulate at the owner, and the flush-time
+   sum over devices (the same merge the dense engine does) is exact;
+3. the owner dedups its received set exactly in-batch (lexicographic
+   sort on (slot, fp)) and probes/inserts its LOCAL table shard with
+   the same 4-probe open addressing as the single-device path;
+4. reads that overflow their probe window — or their all_to_all bucket
+   (skewed hashing) — compact into a fixed-cap per-device buffer that
+   the host classifies exactly, so exactness never depends on table
+   capacity.
+
+Semantics match the single-device hash set (same fp-collision caveat,
+PARITY.md); tests pin sharded == single-device == host keyed.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ngs_barcode_count_tpu import stats
+from ngs_barcode_count_tpu.ops import decode as dec
+from ngs_barcode_count_tpu.ops.decode import DecodePlan, _mix32
+
+
+@dataclass(frozen=True, eq=False)
+class ShardedHashsetEngine:
+    """Random-mode decode + sharded dedup + dense counts over a 1-D
+    ('data',) mesh."""
+
+    plan: DecodePlan
+    mesh: Mesh
+    n_data: int
+    s_local: int  # table slots per device
+
+    @classmethod
+    def build(cls, plan: DecodePlan, mesh: Mesh,
+              n_slots_total: int) -> "ShardedHashsetEngine":
+        n_data = mesh.shape["data"]
+        s_local = max(-(-n_slots_total // n_data), 8)
+        return cls(plan=plan, mesh=mesh, n_data=n_data, s_local=s_local)
+
+    def initial_state(self):
+        sh = NamedSharding(self.mesh, P("data", None))
+        n_flat = self.plan.n_samples * self.plan.n_combos
+        table = jax.device_put(
+            jnp.zeros((self.n_data, self.s_local), jnp.uint32), sh
+        )
+        counts = jax.device_put(
+            jnp.zeros((self.n_data, n_flat), jnp.int32), sh
+        )
+        counters = jax.device_put(
+            jnp.zeros((self.n_data, stats.NUM_COUNTERS), jnp.int32), sh
+        )
+        return table, counts, counters
+
+    @partial(jax.jit, static_argnums=0)
+    def merge(self, counts, counters):
+        return jnp.sum(counts, axis=0), jnp.sum(counters, axis=0)
+
+    def split_exceptions(self, exc_idx, exc_val, rows: int, width: int):
+        """Same host-side per-shard exception bucketing as the dense
+        engine (parallel.mesh.ShardedDenseEngine)."""
+        from ngs_barcode_count_tpu.parallel.mesh import ShardedDenseEngine
+
+        return ShardedDenseEngine.split_exceptions(
+            self, exc_idx, exc_val, rows, width
+        )
+
+    def make_packed_step(self, width: int, with_quals: bool,
+                         batch_rows: int):
+        plan = self.plan
+        mesh = self.mesh
+        n = self.n_data
+        S_local = self.s_local
+        R = batch_rows // n  # local rows per device
+        # all_to_all bucket capacity per (sender, owner) pair; uniform
+        # hashing concentrates ~R/n per bucket, 2x + slack absorbs skew,
+        # anything past it goes to the exact host overflow path
+        capb = int(os.environ.get(
+            "NGS_DEDUP_BUCKET_CAP", 2 * (R // max(n, 1)) + 256
+        ))
+        cap_over = max(R // 8, 256)
+        c6 = 6 ** plan.scheme.random_slot.length
+
+        def local_step(table, counts, counters, packed, lengths, exc_idx,
+                       exc_val, n_reads, quals):
+            from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+            table = table[0]
+            rows = packed.shape[0]
+            bases = unpack_bases(packed, exc_idx[0], exc_val[0], width)
+            rank = jax.lax.axis_index("data")
+            local_n = jnp.clip(n_reads[0] - rank * rows, 0, rows)
+            mask = (
+                jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+                .squeeze(-1) < local_n
+            )
+            q = quals if quals is not None else jnp.zeros((rows, 1), jnp.int8)
+            r = dec.decode_batch(plan, bases, q, lengths, mask)
+            valid = r["valid"]
+            flat = jnp.where(
+                valid, r["sample_idx"] * plan.n_combos + r["combo_flat"], 0
+            )
+            ridx = dec.random_base6_index(r["random_codes"])
+
+            S_total = n * S_local
+            slot_g = (
+                _mix32(flat, ridx, 0x85EBCA6B, 0xC2B2AE35)
+                % np.uint32(S_total)
+            ).astype(jnp.int32)
+            fp = _mix32(flat, ridx, 0x9E3779B1, 0x27D4EB2F)
+            fp = jnp.where(fp == 0, np.uint32(1), fp)
+            fp = jnp.where(valid, fp, 0)  # fp 0 = dead row everywhere
+            # dead rows get owner n: they sort last, consume no bucket
+            # capacity, and the send scatter drops them
+            owner = jnp.where(valid, slot_g // S_local, n)
+            slot_l = slot_g % S_local
+
+            # ---- bucketize by owner, one all_to_all ----
+            row_i = jax.lax.broadcasted_iota(
+                jnp.int32, (rows, 1), 0
+            ).squeeze(-1)
+            o_s, sl_s, fp_s, fl_s, rx_s = jax.lax.sort(
+                (owner, slot_l, fp, flat, ridx), num_keys=1
+            )
+            cnt = jnp.sum(
+                o_s[None, :] == jnp.arange(n, dtype=jnp.int32)[:, None],
+                axis=1,
+            )  # [n] rows per owner
+            starts = jnp.cumsum(cnt) - cnt
+            pos_in_bucket = row_i - jnp.take(starts, o_s)
+            fits = pos_in_bucket < capb
+            # dead rows (fp 0) need not travel: drop them too
+            live_s = fp_s != 0
+            send_row = jnp.where(fits & live_s, o_s, n)  # n = OOB drop
+            send_col = jnp.where(fits, pos_in_bucket, 0)
+            send = jnp.zeros((n, capb, 4), jnp.uint32)
+            vals = jnp.stack(
+                [
+                    sl_s.astype(jnp.uint32),
+                    fp_s,
+                    fl_s.astype(jnp.uint32),
+                    rx_s.astype(jnp.uint32),
+                ],
+                axis=1,
+            )
+            send = send.at[send_row, send_col].set(vals, mode="drop")
+            # bucket-dropped live rows -> this sender's host overflow
+            sender_over = live_s & ~fits
+
+            recv = jax.lax.all_to_all(
+                send, "data", split_axis=0, concat_axis=0, tiled=True
+            )  # [n, capb, 4]: row j = what device j sent me
+            rv = recv.reshape(n * capb, 4)
+            r_slot = rv[:, 0].astype(jnp.int32)
+            r_fp = rv[:, 1]
+            r_flat = rv[:, 2].astype(jnp.int32)
+            r_ridx = rv[:, 3].astype(jnp.int32)
+            r_live = r_fp != 0
+
+            # ---- owner-side exact in-batch dedup ----
+            M = n * capb
+            key_slot = jnp.where(r_live, r_slot, S_local)
+            m_row = jax.lax.broadcasted_iota(
+                jnp.int32, (M, 1), 0
+            ).squeeze(-1)
+            ks, kf, kr = jax.lax.sort(
+                (key_slot, r_fp, m_row), num_keys=2
+            )
+            run_start = jnp.concatenate(
+                [jnp.ones((1,), bool),
+                 (ks[1:] != ks[:-1]) | (kf[1:] != kf[:-1])]
+            )
+            first = jnp.zeros(M, bool).at[kr].set(run_start)
+            resolved_dup = r_live & ~first
+            active = r_live & first
+            is_new = jnp.zeros(M, bool)
+            for p in range(dec.DEDUP_PROBES):
+                cur = jnp.minimum(r_slot + p, S_local)
+                t = table.at[cur].get(mode="fill", fill_value=1)
+                hit = active & (t == r_fp)
+                resolved_dup = resolved_dup | hit
+                active = active & ~hit
+                empty = active & (t == 0)
+                table = table.at[jnp.where(empty, cur, S_local)].set(
+                    r_fp, mode="drop"
+                )
+                t2 = table.at[cur].get(mode="fill", fill_value=1)
+                won = empty & (t2 == r_fp)
+                is_new = is_new | won
+                active = active & ~won
+            probe_over = active
+
+            counts = counts.at[0, jnp.where(is_new, r_flat, 0)].add(
+                is_new.astype(counts.dtype)
+            )
+            add = r["counters"]  # decode-side tallies from MY data shard
+            add = add.at[stats.MATCHED].set(jnp.sum(is_new))
+            add = add.at[stats.DUPLICATES].set(jnp.sum(resolved_dup))
+            counters = counters + add[None, :]
+
+            # ---- overflow compaction: probe overflow (owner side) +
+            # bucket overflow (sender side) ----
+            ov_flag = jnp.concatenate(
+                [probe_over, sender_over]
+            )
+            ov_flat = jnp.concatenate([r_flat, fl_s])
+            ov_ridx = jnp.concatenate([r_ridx, rx_s])
+            not_over = (~ov_flag).astype(jnp.int32)
+            _, c_flat, c_ridx = jax.lax.sort(
+                (not_over, ov_flat, ov_ridx), num_keys=1
+            )
+            over_rows = jnp.stack(
+                [c_flat[:cap_over], c_ridx[:cap_over]], axis=1
+            )
+            n_over = jnp.sum(ov_flag.astype(jnp.int32))
+            return (
+                table[None, :], counts, counters, over_rows[None],
+                n_over[None, None],
+            )
+
+        qual_spec = P("data", None) if with_quals else P()
+        step = jax.jit(
+            jax.shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(
+                    P("data", None),   # table
+                    P("data", None),   # counts
+                    P("data", None),   # counters
+                    P("data", None),   # packed
+                    P("data"),         # lengths
+                    P("data", None),   # exc_idx
+                    P("data", None),   # exc_val
+                    P(),               # n_reads
+                    qual_spec,
+                ),
+                out_specs=(
+                    P("data", None), P("data", None), P("data", None),
+                    P("data", None, None), P("data", None),
+                ),
+                check_vma=False,
+            ),
+            donate_argnums=(0, 1, 2),
+        )
+        return step

@@ -163,12 +163,51 @@ class CountAccumulator:
         self.engine_step = None
         self.bitmap = None
         self.hashset = None
-        device_random_ok = (
-            n_devices == 1
-            and plan.scheme.random_barcode
+        self.hashset_engine = None
+        random_dense_ids = (
+            plan.scheme.random_barcode
             and plan.dense_sample
             and plan.dense_counted
         )
+        if (
+            n_devices > 1
+            and random_dense_ids
+            and allow_device_dedup
+            and plan.scheme.random_slot.length <= 11
+            and os.environ.get("NGS_DEVICE_DEDUP", "1") == "1"
+        ):
+            # multi-device random mode: the dedup table shards over the
+            # data mesh; triples route to their slot's owner device with
+            # one all_to_all per step (parallel/sharded_dedup.py)
+            import jax
+            import jax.numpy as jnp
+            from jax.sharding import Mesh
+
+            from ngs_barcode_count_tpu.parallel.sharded_dedup import (
+                ShardedHashsetEngine,
+            )
+
+            devs = devices if devices is not None else jax.devices()
+            mesh = Mesh(np.array(devs[:n_devices]), ("data",))
+            default_slots = (
+                (1 << 26)
+                if jax.devices()[0].platform != "cpu"
+                else (1 << 16)
+            )
+            n_slots = int(
+                os.environ.get("NGS_DEDUP_TABLE_SLOTS", default_slots)
+            )
+            self.dense = DenseCounts(plan.n_samples, plan.combo_radix)
+            self.hashset_engine = ShardedHashsetEngine.build(
+                plan, mesh, n_slots
+            )
+            (self.hashset, self.dense_state, self.dense_counters) = (
+                self.hashset_engine.initial_state()
+            )
+            self._overflow_seen = set()
+            self._overflow_counts = {}
+            return
+        device_random_ok = n_devices == 1 and random_dense_ids
         if device_random_ok and allow_bitmap and _bitmap_fits(plan):
             # fully-device random-barcode mode: dedup bytemap on HBM, no
             # host-side key traffic at all (SURVEY.md section 7, item 6)
@@ -362,6 +401,28 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         self._untranspose(pb)
+        if self.hashset_engine is not None:
+            if not hasattr(self, "_hse_steps"):
+                self._hse_steps = {}
+            key = (pb.width, pb.quals is not None, pb.packed.shape[0])
+            step = self._hse_steps.get(key)
+            if step is None:
+                step = self.hashset_engine.make_packed_step(
+                    pb.width, pb.quals is not None, pb.packed.shape[0]
+                )
+                self._hse_steps[key] = step
+            exc_i, exc_v = self.hashset_engine.split_exceptions(
+                np.asarray(pb.exc_idx), np.asarray(pb.exc_val),
+                pb.packed.shape[0], pb.width,
+            )
+            (self.hashset, self.dense_state, self.dense_counters,
+             over, n_over) = step(
+                self.hashset, self.dense_state, self.dense_counters,
+                pb.packed, np.asarray(pb.lengths), exc_i, exc_v, n,
+                pb.quals,
+            )
+            self._push_overflow(over, n_over)
+            return
         if self.hashset is not None:
             cap = max(pb.packed.shape[0] // 8, 1024)
             pb.lengths = self._lengths_dev(pb.lengths)
@@ -456,8 +517,16 @@ class CountAccumulator:
     def _harvest_overflow(self, over, n_over) -> None:
         """Exact host classification of probe-overflow triples: slots
         never free, so every occurrence of an overflowed triple reaches
-        here and the host set is the complete truth for them."""
-        n = int(np.asarray(n_over)[0])
+        here and the host set is the complete truth for them.  Accepts
+        the sharded engine's per-device stacks too ([n_dev, cap, 2] /
+        [n_dev, 1])."""
+        n_arr = np.asarray(n_over).reshape(-1)
+        if np.asarray(over).ndim == 3:
+            over_np = np.asarray(over)
+            for d in range(over_np.shape[0]):
+                self._harvest_overflow(over_np[d], n_arr[d : d + 1])
+            return
+        n = int(n_arr[0])
         if n == 0:
             return
         cap = over.shape[0]
@@ -752,6 +821,19 @@ class CountAccumulator:
         mesh engine is active, and fold the device counter vector into the
         host stats (once per run, not per batch)."""
         self.flush_pending()
+        if self.hashset_engine is not None:
+            counts, counters = self.hashset_engine.merge(
+                self.dense_state, self.dense_counters
+            )
+            arr = np.asarray(counts).astype(np.int64)
+            for f, c in self._overflow_counts.items():
+                arr[f] += c
+            self.dense_state = arr
+            self.seq_errors.add_vector(np.asarray(counters))
+            self.dense_counters = None
+            self.hashset = None
+            self.hashset_engine = None
+            return
         if self.hashset is not None:
             arr = np.asarray(self.dense_state).astype(np.int64)
             for f, c in self._overflow_counts.items():
@@ -953,6 +1035,7 @@ def decode_file(
         plan.dense_counts
         or acc.bitmap is not None
         or acc.hashset is not None
+        or acc.hashset_engine is not None
     ) and native_ok
     # keyed wire path: 3-bit slot words fit a uint64 key only up to 21nt
     scheme_slots = [s.length for s in scheme.barcode_slots]
@@ -969,7 +1052,9 @@ def decode_file(
         (
             use_packed
             and acc.bitmap is None
-            and acc.engine is None  # sharded state shape is mesh-dependent
+            # sharded state shapes are mesh-dependent: no checkpointing
+            and acc.engine is None
+            and acc.hashset_engine is None
         )
         or use_packed_keyed
     )

@@ -464,3 +464,51 @@ def test_device_hashset_dedup_equals_host_keyed(tmp_path, rng, monkeypatch):
     )
     assert acc_dev.results_view().per_sample == \
         acc_host.results_view().per_sample
+
+
+@pytest.mark.parametrize("bucket_cap", [None, "3"])
+def test_sharded_hashset_dedup_equals_single(tmp_path, rng, monkeypatch,
+                                             bucket_cap):
+    """Multi-device random mode: the table shards over the data mesh and
+    triples route to owner devices via all_to_all; counts must equal the
+    single-device hash set and the host keyed path exactly — including
+    with a tiny table (probe overflow) and, parametrized, a tiny
+    all_to_all bucket cap (bucket overflow)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, decode_file, setup,
+    )
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 800, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
+    if bucket_cap:
+        monkeypatch.setenv("NGS_DEDUP_BUCKET_CAP", bucket_cap)
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc1 = CountAccumulator(plan, conv)
+    assert acc1.hashset is not None
+    n1 = decode_file(cfg, plan, scheme, acc1)
+    acc1.finalize()
+
+    acc4 = CountAccumulator(plan, conv, n_devices=4)
+    assert acc4.hashset_engine is not None
+    n4 = decode_file(cfg, plan, scheme, acc4, n_devices=4)
+    acc4.finalize()
+
+    assert n1 == n4 == 800
+    np.testing.assert_array_equal(
+        acc1.seq_errors.counters, acc4.seq_errors.counters
+    )
+    np.testing.assert_array_equal(
+        np.asarray(acc1.dense_state), np.asarray(acc4.dense_state)
+    )
+    assert acc1.results_view().per_sample == acc4.results_view().per_sample
