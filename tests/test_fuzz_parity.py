@@ -145,3 +145,69 @@ def test_fuzzed_scheme_parity(seed):
                     conv.sample_set.sequences[int(sample_idx[i])]
                     == o.sample_barcode
                 ), (seed, i, text)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzzed_scheme_e2e_pipeline(tmp_path, seed):
+    """Same fuzzed schemes driven through the PRODUCTION pipeline: files
+    on disk -> native codec wire format -> whatever mode the runner
+    selects (dense / bytemap / device hash-set / keyed) -> counters must
+    equal the oracle's tallies."""
+    from ngs_barcode_count_tpu.io import native
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, RunConfig, decode_file, setup,
+    )
+    from ngs_barcode_count_tpu import stats as S
+    from tests.test_end_to_end import oracle_counts
+
+    if not native.available():
+        pytest.skip("native codec not built")
+    rng = np.random.default_rng(2000 + seed)
+    text = _random_scheme_text(rng)
+    scheme = parse_scheme_text(text)
+    conv, samples, sets = _tables(rng, scheme)
+
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text(text)
+    paths = {}
+    if samples:
+        sf = tmp_path / "samples.csv"
+        sf.write_text(
+            "Barcode,ID\n" + "".join(f"{b},S{i}\n"
+                                     for i, b in enumerate(samples))
+        )
+        paths["samples"] = str(sf)
+    cf = tmp_path / "bc.csv"
+    cf.write_text(
+        "Barcode,ID,Num\n" + "".join(
+            f"{b},B{i}_{j},{i + 1}\n"
+            for i, s in enumerate(sets) for j, b in enumerate(s)
+        )
+    )
+    reads, quals = _reads(rng, scheme, samples, sets, 300)
+    fq = tmp_path / "r.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+
+    min_quality = 30.0 if rng.random() < 0.5 else 0.0
+    cfg = RunConfig(
+        fastq=str(fq), format=str(fmt),
+        sample_barcodes_option=paths.get("samples"),
+        counted_barcodes_option=str(cf),
+        output_dir=str(tmp_path), prefix="fz", batch_size=128,
+        progress=False, min_average_quality_score=min_quality,
+    )
+    scheme2, conv2, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv2)
+    n = decode_file(cfg, plan, scheme2, acc)
+    acc.finalize()
+    assert n == len(reads)
+
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    c = acc.seq_errors.counters
+    assert c[S.MATCHED] == tallies["matched"], (seed, text)
+    assert c[S.CONSTANT_REGION] == tallies["constant_region"], (seed, text)
+    assert c[S.SAMPLE_BARCODE] == tallies["sample_barcode"], (seed, text)
+    assert c[S.BARCODE] == tallies["barcode"], (seed, text)
+    assert c[S.LOW_QUALITY] == tallies["low_quality"], (seed, text)
+    assert c[S.DUPLICATES] == tallies["duplicates"], (seed, text)
+    assert acc.results_view().per_sample == exp, (seed, text)
