@@ -105,9 +105,17 @@ def _rowmajor(pb):
     return pb
 
 def main():
-    n_reads = int(os.environ.get("NGS_BENCH_READS", 10_000_000))
-    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
     workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
+    # default: the longest FASTQ already generated in the workdir (a 50M
+    # sustained run when cached; 10M otherwise — generating 50M fresh
+    # costs ~12 CPU-minutes, too slow for a default)
+    default_reads = 10_000_000
+    for n in (50_000_000, 20_000_000):
+        if os.path.exists(os.path.join(workdir, f"bench_{n}.fastq")):
+            default_reads = n
+            break
+    n_reads = int(os.environ.get("NGS_BENCH_READS", default_reads))
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
     fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
         workdir, n_reads
     )
