@@ -146,6 +146,24 @@ def main():
     decode_file(cfg, plan, scheme, acc0, limit_batches=1)
     acc0.finalize()
 
+    # Link-phase probe: the relay's throughput swings 3-50 MB/s hour to
+    # hour and bounds e2e on this sandbox; record it so vs_baseline is
+    # interpretable (see BENCH.md "the link is the ceiling").
+    import jax
+
+    link_mbps = None
+    if jax.devices()[0].platform != "cpu":
+        import jax.numpy as jnp
+
+        probe = np.random.default_rng(0).integers(
+            0, 255, 16 << 20, dtype=np.uint8
+        )
+        fsum = jax.jit(lambda x: jnp.sum(x, dtype=jnp.int32))
+        int(fsum(jax.device_put(probe)))  # warm
+        t0 = time.perf_counter()
+        int(fsum(jax.device_put(np.roll(probe, 1))))
+        link_mbps = round(16 / (time.perf_counter() - t0), 1)
+
     # Timed end-to-end passes.  The headline is the SUSTAINED number
     # (total reads / total time across both passes); the best pass is
     # reported in detail (the relay link varies ±20% run to run).
@@ -271,6 +289,7 @@ def main():
                     "kernel_tflops": round(kernel_tflops, 2),
                     "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
                     "ingest_reads_per_s": round(ingest_rps, 1),
+                    "link_probe_mbps_random_bytes": link_mbps,
                 },
             }
         )
