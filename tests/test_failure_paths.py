@@ -71,3 +71,45 @@ def test_run_errors_cleanly_on_bad_scheme(tmp_path):
     with pytest.raises(ValueError, match="at least one counted barcode"):
         run(RunConfig(fastq=str(fq), format=str(fmt),
                       output_dir=str(tmp_path), progress=False))
+
+
+def test_profile_dir_and_trace_logging(tmp_path, rng, capfd):
+    """--profile-dir writes a jax.profiler trace; NGS_TRACE=1 emits
+    per-batch structured logs (the observability layer the reference
+    lacks, SURVEY.md section 5)."""
+    import json as _json
+    import os
+
+    from ngs_barcode_count_tpu.runner import RunConfig, run
+    from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+    from ngs_barcode_count_tpu.utils.tracing import Throughput
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    from ngs_barcode_count_tpu.runner import setup
+
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 300, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.profile_dir = str(tmp_path / "trace")
+
+    os.environ["NGS_TRACE"] = "1"
+    try:
+        result = run(cfg)
+    finally:
+        del os.environ["NGS_TRACE"]
+    assert result.total_reads == 300
+    # profiler wrote something under the trace dir
+    found = []
+    for root, _, files in os.walk(cfg.profile_dir):
+        found += files
+    assert found, "no profiler trace files written"
+    # structured batch logs on stderr, parseable json with the fields
+    err = capfd.readouterr().err
+    recs = [
+        _json.loads(ln) for ln in err.splitlines()
+        if ln.startswith('{"event": "batch"')
+    ]
+    assert recs and recs[-1]["total_reads"] == 300
+    assert recs[-1]["reads_per_s"] > 0
