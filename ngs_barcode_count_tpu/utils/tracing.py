@@ -36,7 +36,7 @@ def profile_to(trace_dir: str | None):
 class Throughput:
     """Rolling reads/s with optional per-batch structured logging."""
 
-    def __init__(self, log: bool | None = None, out=sys.stderr):
+    def __init__(self, log: bool | None = None, out=None):
         self.t0 = time.perf_counter()
         self.last_t = self.t0
         self.total = 0
@@ -44,6 +44,8 @@ class Throughput:
         self.log = (
             log if log is not None else os.environ.get("NGS_TRACE") == "1"
         )
+        # Resolved at print time: jax.profiler.start_trace re-redirects
+        # fd 2, so a stream captured here could outlive its redirect.
         self.out = out
 
     def update(self, n_reads: int) -> None:
@@ -61,7 +63,7 @@ class Throughput:
                     self.total / max(now - self.t0, 1e-9), 1
                 ),
             }
-            print(json.dumps(rec), file=self.out)
+            print(json.dumps(rec), file=self.out or sys.stderr, flush=True)
         self.last_t = now
 
     @property

@@ -73,10 +73,14 @@ def test_run_errors_cleanly_on_bad_scheme(tmp_path):
                       output_dir=str(tmp_path), progress=False))
 
 
-def test_profile_dir_and_trace_logging(tmp_path, rng, capfd):
+def test_profile_dir_and_trace_logging(tmp_path, rng, capsys):
     """--profile-dir writes a jax.profiler trace; NGS_TRACE=1 emits
     per-batch structured logs (the observability layer the reference
-    lacks, SURVEY.md section 5)."""
+    lacks, SURVEY.md section 5).
+
+    capsys (sys-level), not capfd: jax.profiler.start_trace re-redirects
+    fd 2 mid-test, so fd-level capture loses writes emitted inside the
+    trace window."""
     import json as _json
     import os
 
@@ -106,7 +110,7 @@ def test_profile_dir_and_trace_logging(tmp_path, rng, capfd):
         found += files
     assert found, "no profiler trace files written"
     # structured batch logs on stderr, parseable json with the fields
-    err = capfd.readouterr().err
+    err = capsys.readouterr().err
     recs = [
         _json.loads(ln) for ln in err.splitlines()
         if ln.startswith('{"event": "batch"')
