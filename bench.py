@@ -115,7 +115,12 @@ def main():
             default_reads = n
             break
     n_reads = int(os.environ.get("NGS_BENCH_READS", default_reads))
-    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
+    # 128k reads/batch: per-batch wall time through the relay is
+    # super-linear in transfer size, so small batches pipeline ~2.4x
+    # better than the 1M-read batches used previously (measured A/B:
+    # 2.5-2.8M reads/s at 128k vs 0.98-1.16M at 1M in the same relay
+    # phases; direct-attached hardware is far less sensitive)
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 17))
     fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
         workdir, n_reads
     )

@@ -504,14 +504,21 @@ class CountAccumulator:
             )
 
     def _push_overflow(self, over, n_over) -> None:
-        """Pipeline the (rare) hash-set overflow fetch two batches deep,
-        like the keyed wire fetch."""
+        """Pipeline the (rare) hash-set overflow fetch deep enough that
+        the d2h sync never stalls the h2d stream: a constant ~2M reads
+        of lookahead (depth scales inversely with batch size; the
+        buffers are cap = batch/8 rows, so the queue holds ~2MB on
+        device regardless of batch size).  A shallow 2-deep queue cost
+        ~2x e2e at 128k-read batches through the relay — each harvest's
+        scalar fetch interrupted the transfer pipeline."""
         if not hasattr(self, "_pending_over"):
             from collections import deque
 
             self._pending_over = deque()
+        rows = int(np.shape(over)[-2]) or 1  # cap = batch/8
+        depth = max(2, (1 << 21) // (rows * 8))
         self._pending_over.append((over, n_over))
-        while len(self._pending_over) > 2:
+        while len(self._pending_over) > depth:
             self._harvest_overflow(*self._pending_over.popleft())
 
     def _harvest_overflow(self, over, n_over) -> None:
@@ -655,8 +662,14 @@ class CountAccumulator:
             from collections import deque
 
             self._pending_keyed = deque()
+        # Constant ~2M reads of lookahead (like _push_overflow): at small
+        # batch sizes a fixed 2-deep queue forces one blocking d2h per
+        # ~2 batches, stalling the h2d stream it shares with uploads.
+        # Wire rows are <=16B/read, so the queue holds <=32MB on device.
+        rows = int(out["wire"].shape[0]) or 1
+        depth = max(2, (1 << 21) // rows)
         self._pending_keyed.append(out)
-        while len(self._pending_keyed) > 2:
+        while len(self._pending_keyed) > depth:
             self._harvest_keyed(self._pending_keyed.popleft())
 
     def flush_pending(self) -> None:

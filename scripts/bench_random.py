@@ -34,7 +34,7 @@ TAGA
 
 def main():
     n_reads = int(os.environ.get("NGS_BENCH_READS", 4_000_000))
-    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 20))
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 17))
     workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
     os.makedirs(workdir, exist_ok=True)
 
