@@ -96,13 +96,168 @@ def _match_matrix(onehot: np.ndarray, n_mask: np.ndarray, sl: int):
     return Wm, nc, nc_pad
 
 
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length()
+
+
+def _realign(src, shift, L, O, TB, F):
+    """R[b, p] = src[b, shift[b] + p] for shift in [0, O) via a log2
+    shifter: ceil(log2(O)) conditional lane shifts instead of an
+    O-iteration select-FMA loop (measured ~30 ns/read at O=38)."""
+    work = src
+    for k in range((O - 1).bit_length()):
+        s = 1 << k
+        shifted = jnp.concatenate(
+            [work[:, s:], jnp.zeros((TB, s), work.dtype)], axis=1
+        )
+        bit = ((shift >> k) & 1) == 1  # [TB, 1]
+        work = jnp.where(bit, shifted, work)
+    return work[:, :F]
+
+
+def _match_matrix_all(slots, F: int):
+    """One [5F, C_all] f32 candidate matrix covering every matcher slot
+    in 128-aligned column blocks, so the kernel runs ONE matmul against
+    the full realigned region instead of per-slot narrow-slice matmuls
+    (the per-slot extraction/concat relayouts measured ~70 ns/read).
+    Rows are c-major over ABSOLUTE format positions (c*F + p); block
+    4F..5F is the read-N indicator with -3 where the candidate is N
+    (same encoding as _match_matrix).  ``slots`` is a list of
+    (name, slot, onehot, n_mask, budget); returns (W_all, metas) with
+    metas = (name, slot, col_off, nc, nc_pad, budget)."""
+    col_off = 0
+    metas = []
+    blocks = []
+    for name, slot, onehot, n_mask, budget in slots:
+        nc = onehot.shape[0]
+        nc_pad = _round_up(max(nc, 1), 128)
+        metas.append((name, slot, col_off, nc, nc_pad, budget))
+        blocks.append((slot, onehot, n_mask, nc, nc_pad))
+        col_off += nc_pad
+    W = np.zeros((5 * F, col_off), dtype=np.float32)
+    c0 = 0
+    for slot, onehot, n_mask, nc, nc_pad in blocks:
+        sl = slot.length
+        oh = onehot.reshape(nc, sl, 4)
+        for j in range(nc):
+            for i in range(sl):
+                p = slot.offset + i
+                for c in range(4):
+                    if oh[j, i, c]:
+                        W[c * F + p, c0 + j] = 1.0
+                if n_mask[j, i]:
+                    W[4 * F + p, c0 + j] = -3.0
+        c0 += nc_pad
+    return W, metas
+
+
+def _matcher_keys_fit(metas) -> bool:
+    """The two-reduction argmin packs (mismatches, candidate column)
+    into one int32 key per lane; checks every slot's bound."""
+    return all(
+        (slot.length + 1) * _next_pow2(nc_pad) < (1 << 30)
+        for (_, slot, _, _, nc_pad, _) in metas
+    )
+
+
+def _kernel_match_all(R, w_all_ref, metas, F, TB):
+    """Tie-drop Hamming argmin for ALL matcher slots: one one-hot build
+    over the realigned region, one MXU matmul, then per slot two packed
+    min-reductions on a 128-aligned column block (vs 3 reductions + an
+    unaligned slice + concat per slot before).  Semantics identical to
+    _kernel_match per slot (parse.rs:553-593).  Yields (idx, ok) in
+    metas order."""
+    is_n = (R == dna.N).astype(jnp.bfloat16)
+    blocks = [
+        jnp.maximum((R == c).astype(jnp.bfloat16), is_n) for c in range(4)
+    ]
+    blocks.append(is_n)
+    m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5F]
+    matches = jnp.dot(
+        m_in, w_all_ref[...], preferred_element_type=jnp.float32
+    ).astype(jnp.int32)  # [TB, C_all]
+    out = []
+    for name, slot, col_off, nc, nc_pad, budget in metas:
+        sl = slot.length
+        blk = matches[:, col_off : col_off + nc_pad]
+        col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
+        ncp2 = _next_pow2(nc_pad)
+        nc_bits = (ncp2 - 1).bit_length()
+        nc_mask = ncp2 - 1
+        big_key = jnp.int32(1 << 30)
+        m = sl - blk
+        keyA = jnp.where(col < nc, (m << nc_bits) | col, big_key)
+        keyB = jnp.where(
+            col < nc, (m << nc_bits) | (nc_mask - col), big_key
+        )
+        kA = jnp.min(keyA, axis=1, keepdims=True)
+        kB = jnp.min(keyB, axis=1, keepdims=True)
+        m_min = kA >> nc_bits
+        idx = kA & nc_mask
+        uniq = idx == (nc_mask - (kB & nc_mask))
+        ok = (m_min <= budget) & uniq
+        out.append((idx, ok))
+    return out
+
+
+_FUSED_MATCH_VMEM = 6 << 20  # bf16 W_all budget
+
+
+def _build_matchers(slot_defs, F: int):
+    """Choose the matcher formulation at build time.  Returns
+    (W_all, metas, slot_mats): the fused [5F, C_all] matrix (or None
+    when its packed keys would overflow int32 or the matrix would not
+    fit VMEM) plus per-slot fallback matrices.  ``slot_defs`` is a list
+    of (name, slot, onehot, n_mask, budget)."""
+    if not slot_defs:
+        return None, [], []
+    W_all, metas = _match_matrix_all(slot_defs, F)
+    if (
+        not _matcher_keys_fit(metas)
+        or 2 * W_all.size > _FUSED_MATCH_VMEM
+    ):
+        W_all = None
+    slot_mats = []
+    if W_all is None:
+        for name, slot, onehot, n_mask, budget in slot_defs:
+            Wm, nc, nc_pad = _match_matrix(onehot, n_mask, slot.length)
+            slot_mats.append((Wm, nc_pad))
+    return W_all, metas, slot_mats
+
+
+def _run_matchers(R, W_all, metas, slot_mats, slot_w_refs, F, TB):
+    """Run every matcher slot against the realigned region R, via the
+    fused all-slot matmul when eligible, else per-slot.  Returns
+    [(idx, ok)] in metas order."""
+    if W_all is not None:
+        return _kernel_match_all(R, slot_w_refs[0], metas, F, TB)
+    out = []
+    for (name, slot, _, nc, nc_pad, budget), w_ref in zip(
+        metas, slot_w_refs
+    ):
+        r = R[:, slot.offset : slot.offset + slot.length]
+        out.append(
+            _kernel_match(r, w_ref, nc, nc_pad, slot.length, budget, TB)
+        )
+    return out
+
+
 def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
                       O, O_pad, n_const, n_wild, max_const):
     """Shared per-tile front end of every decode kernel: the one-matmul
     offset scan, the leftmost-exact / unique-best-repair selection, and
     the realigned format region.  Returns (const_ok, offset, has_exact,
     exact_off, o_idx, R); all [TB, 1] except o_idx [TB, O_pad] and
-    R [TB, F] f32."""
+    R [TB, F] f32.
+
+    Cross-lane reductions dominate this stage's VPU time, so the repair
+    selection packs (mismatches, offset, wild-hits) into one integer key
+    per lane and recovers all four quantities (min mismatches, first and
+    last best offset for the tie-drop, wild count at the chosen offset)
+    from TWO min-reductions.  Coefficients are powers of two so the
+    decode is shifts/masks; the packing fits int32 for any format with
+    n_const * O_pad * next_pow2(n_wild+1) < 2^29 (checked at build by
+    _front_key_bound)."""
     x1h = jnp.concatenate(
         [(basesf == c).astype(jnp.bfloat16) for c in range(5)], axis=1
     )  # [TB, 5L] -- bf16 operands, f32 accumulation: inputs are exactly
@@ -118,12 +273,12 @@ def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
     o_in_range = (o_idx + F <= lengths) & (o_idx < O)
 
     exact = (strict_o == n_const) & (wild_o == n_wild) & o_in_range
-    has_exact = jnp.any(exact, axis=1, keepdims=True)
     # LEFTMOST exact offset (the regex is a search): explicit min —
     # Mosaic's argmax does not guarantee first-occurrence ties
     exact_off = jnp.min(
         jnp.where(exact, o_idx, _BIG), axis=1, keepdims=True
     ).astype(jnp.int32)
+    has_exact = exact_off != _BIG
 
     # repair windows: offsets 0..len-F-1 EXCLUSIVE (parse.rs:295);
     # --fix-quirks includes the final alignment
@@ -131,32 +286,65 @@ def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
         rep_range = (o_idx + F <= lengths) & (o_idx < O)
     else:
         rep_range = (o_idx + F < lengths) & (o_idx < O)
-    mism = jnp.where(rep_range, n_const - relax_o, _BIG)
-    mism_min = jnp.min(mism, axis=1, keepdims=True)
-    # first-minimum offset (deterministic; ties are dropped anyway)
-    rep_off = jnp.min(
-        jnp.where(mism == mism_min, o_idx, _BIG), axis=1, keepdims=True
-    ).astype(jnp.int32)
-    n_best = jnp.sum(
-        ((mism == mism_min) & rep_range).astype(jnp.int32),
-        axis=1, keepdims=True,
-    )
-    wild_at_rep = jnp.sum(
-        jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
-    )
-    repair_ok = (
-        (mism_min <= max_const) & (n_best == 1) & (wild_at_rep == n_wild)
-    )
+    if _front_key_bound(n_const, O_pad, n_wild) < (1 << 30):
+        cw_bits = (_next_pow2(n_wild + 1) - 1).bit_length()
+        op_bits = (_next_pow2(O_pad) - 1).bit_length()
+        op_mask = (1 << op_bits) - 1
+        big_key = jnp.int32(1 << 30)
+        mism = n_const - relax_o
+        key1 = jnp.where(
+            rep_range,
+            ((mism << op_bits) | o_idx) << cw_bits | wild_o,
+            big_key,
+        )
+        key2 = jnp.where(
+            rep_range,
+            ((mism << op_bits) | (op_mask - o_idx)) << cw_bits,
+            big_key,
+        )
+        k1 = jnp.min(key1, axis=1, keepdims=True)
+        k2 = jnp.min(key2, axis=1, keepdims=True)
+        mism_min = k1 >> (op_bits + cw_bits)  # huge when no window
+        o_first = (k1 >> cw_bits) & op_mask
+        wild_at_rep = k1 & ((1 << cw_bits) - 1)
+        o_last = op_mask - ((k2 >> cw_bits) & op_mask)
+        repair_ok = (
+            (mism_min <= max_const) & (o_first == o_last)
+            & (wild_at_rep == n_wild)
+        )
+        # no in-range window: the selection loop in parse.rs:294-304
+        # never ran, leaving offset 0 (matches the old argmin fallback)
+        rep_off = jnp.where(k1 == big_key, 0, o_first)
+    else:  # exotic formats whose key would overflow: 4 reductions
+        mism = jnp.where(rep_range, n_const - relax_o, _BIG)
+        mism_min = jnp.min(mism, axis=1, keepdims=True)
+        rep_off = jnp.min(
+            jnp.where(mism == mism_min, o_idx, _BIG), axis=1,
+            keepdims=True,
+        ).astype(jnp.int32)
+        n_best = jnp.sum(
+            ((mism == mism_min) & rep_range).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+        wild_at_rep = jnp.sum(
+            jnp.where(o_idx == rep_off, wild_o, 0), axis=1, keepdims=True
+        )
+        repair_ok = (
+            (mism_min <= max_const) & (n_best == 1)
+            & (wild_at_rep == n_wild)
+        )
+        rep_off = jnp.where(mism_min == _BIG, 0, rep_off)
     len_ok = (lengths >= F) & is_read
     const_ok = len_ok & (has_exact | repair_ok)
     offset = jnp.where(has_exact, exact_off, rep_off)
 
-    # realign the format region: R[b, p] = bases[b, offset+p]
-    sel = ((o_idx == offset) & (o_idx < O)).astype(jnp.float32)
-    R = jnp.zeros((TB, F), jnp.float32)
-    for o in range(O):
-        R = R + sel[:, o : o + 1] * basesf[:, o : o + F]
+    R = _realign(basesf, offset, L, O, TB, F)
     return const_ok, offset, has_exact, exact_off, o_idx, R
+
+
+def _front_key_bound(n_const: int, O_pad: int, n_wild: int) -> int:
+    """Max packed-key value in _kernel_front_end (must stay < 2^30)."""
+    return (n_const + 1) * _next_pow2(O_pad) * _next_pow2(n_wild + 1)
 
 
 def _kernel_quality_gate(plan, qualsf, o_idx, O, offset, has_exact,
@@ -228,22 +416,18 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
 
     W_scan = _scan_matrix(plan, L, O, O_pad)
 
-    slots = []
+    slot_defs = []
     if scheme.sample_slot is not None:
-        Wm, nc, nc_pad = _match_matrix(
-            plan.sample_onehot, plan.sample_n_mask, scheme.sample_slot.length
-        )
-        slots.append(
-            ("sample", scheme.sample_slot, Wm, nc, nc_pad,
-             int(plan.max_errors.sample_barcode))
+        slot_defs.append(
+            ("sample", scheme.sample_slot, plan.sample_onehot,
+             plan.sample_n_mask, int(plan.max_errors.sample_barcode))
         )
     for i, slot in enumerate(scheme.barcode_slots):
-        Wm, nc, nc_pad = _match_matrix(
-            plan.counted_onehots[i], plan.counted_n_masks[i], slot.length
+        slot_defs.append(
+            (f"bc{i}", slot, plan.counted_onehots[i],
+             plan.counted_n_masks[i], int(plan.max_errors.barcode[i]))
         )
-        slots.append(
-            (f"bc{i}", slot, Wm, nc, nc_pad, int(plan.max_errors.barcode[i]))
-        )
+    W_all, metas, slot_mats = _build_matchers(slot_defs, F)
     radix = plan.combo_radix
     n_combos = int(np.prod(radix)) if radix else 1
     has_sample = scheme.sample_slot is not None
@@ -255,8 +439,9 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         else:
             scan_w_ref = refs[0]
             refs = refs[1:]
-        slot_w_refs = refs[: len(slots)]
-        flat_ref, status_ref = refs[len(slots) :]
+        n_mats = 1 if W_all is not None else len(slot_mats)
+        slot_w_refs = refs[:n_mats]
+        flat_ref, status_ref = refs[n_mats:]
 
         tile = pl.program_id(0)
         basesf = bases_ref[...].astype(jnp.float32)  # [TB, L]
@@ -285,11 +470,10 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         combo = jnp.zeros((TB, 1), jnp.int32)
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
-        for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(slots):
-            r = R[:, slot.offset : slot.offset + slot.length]  # [TB, sl]
-            idx, ok = _kernel_match(
-                r, slot_w_refs[s_i], nc, nc_pad, slot.length, budget, TB
-            )
+        results = _run_matchers(
+            R, W_all, metas, slot_mats, slot_w_refs, F, TB
+        )
+        for (name, slot, _, _, _, _), (idx, ok) in zip(metas, results):
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
             status = jnp.where(ok_so_far & ~ok, code, status)
             ok_so_far = ok_so_far & ok
@@ -304,7 +488,9 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         flat_ref[...] = flat
         status_ref[...] = status
 
-    consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in slots]
+    consts_np = [W_scan] + (
+        [W_all] if W_all is not None else [Wm for Wm, _ in slot_mats]
+    )
 
     def fn(bases, lengths, n_reads, quals=None):
         B = bases.shape[0]
@@ -330,14 +516,10 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                              memory_space=pltpu.VMEM)
             )
             args.append(quals)
-        in_specs.append(
-            pl.BlockSpec(W_scan.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM)
-        )
         in_specs += [
-            pl.BlockSpec(Wm.shape, lambda i, *_: (0, 0),
+            pl.BlockSpec(w.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
-            for (_, _, Wm, _, _, _) in slots
+            for w in consts_np
         ]
         args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
         flat, status = pl.pallas_call(
@@ -479,57 +661,55 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
     n_wire = layout["total"]
 
     # matchers only for regions with candidate sets
-    matchers = []  # (name, slot, Wm, nc, nc_pad, budget)
+    slot_defs = []
     if scheme.sample_slot is not None and plan.sample_onehot is not None:
-        Wm, nc, nc_pad = _match_matrix(
-            plan.sample_onehot, plan.sample_n_mask, scheme.sample_slot.length
+        slot_defs.append(
+            ("sample", scheme.sample_slot, plan.sample_onehot,
+             plan.sample_n_mask, int(plan.max_errors.sample_barcode))
         )
-        matchers.append(("sample", scheme.sample_slot, Wm, nc, nc_pad,
-                         int(plan.max_errors.sample_barcode)))
     if plan.counted_onehots is not None:
         for i, slot in enumerate(scheme.barcode_slots):
-            Wm, nc, nc_pad = _match_matrix(
-                plan.counted_onehots[i], plan.counted_n_masks[i], slot.length
+            slot_defs.append(
+                (f"bc{i}", slot, plan.counted_onehots[i],
+                 plan.counted_n_masks[i], int(plan.max_errors.barcode[i]))
             )
-            matchers.append((f"bc{i}", slot, Wm, nc, nc_pad,
-                             int(plan.max_errors.barcode[i])))
+    W_all, metas, slot_mats = _build_matchers(slot_defs, F)
     radix = plan.combo_radix if plan.dense_counted else ()
 
-    # Word packing runs as two small f32 matmuls per raw slot (exact:
-    # each half-word is <= 5*8^4 < 2^24) combined arithmetically —
-    # a per-lane shift/OR chain miscompiled under Mosaic, silently
-    # dropping high-position bases (caught by a 2M-read TPU diff).
-    def _word_weights(sl: int):
-        n_words = -(-sl // 10)
-        Wl = np.zeros((sl, n_words), np.float32)
-        Wh = np.zeros((sl, n_words), np.float32)
-        for i in range(sl):
+    # Word packing runs as ONE pair of f32 matmuls over the whole
+    # realigned region (exact: each half-word is <= 5*8^4 < 2^24)
+    # combined arithmetically — a per-lane shift/OR chain miscompiled
+    # under Mosaic, silently dropping high-position bases (caught by a
+    # 2M-read TPU diff).  Rows are absolute format positions, so every
+    # raw slot's words come out of one [TB, F] x [F, n_words] product
+    # instead of a narrow-slice matmul pair per slot.
+    raw_slots = []  # (slot, first word column) for slots emitted as words
+    if "sample_words" in layout:
+        raw_slots.append(scheme.sample_slot)
+    if "counted_words" in layout:
+        raw_slots.extend(scheme.barcode_slots)
+    if "random_words" in layout:
+        raw_slots.append(scheme.random_slot)
+    word_cols = []  # (col_off, n_words) per raw slot
+    nw_total = 0
+    for slot in raw_slots:
+        n_words = -(-slot.length // 10)
+        word_cols.append((nw_total, n_words))
+        nw_total += n_words
+    Wl_all = np.zeros((F, max(nw_total, 1)), np.float32)
+    Wh_all = np.zeros((F, max(nw_total, 1)), np.float32)
+    for slot, (c0, _) in zip(raw_slots, word_cols):
+        for i in range(slot.length):
             w, r = divmod(i, 10)
             if r < 5:
-                Wl[i, w] = float(8 ** r)
+                Wl_all[slot.offset + i, c0 + w] = float(8 ** r)
             else:
-                Wh[i, w] = float(8 ** (r - 5))
-        return Wl, Wh
+                Wh_all[slot.offset + i, c0 + w] = float(8 ** (r - 5))
 
-    raw_slots = []  # (slot, Wl, Wh) for every slot emitted as words
-    if "sample_words" in layout:
-        raw_slots.append(
-            (scheme.sample_slot, *_word_weights(scheme.sample_slot.length))
-        )
-    if "counted_words" in layout:
-        for slot in scheme.barcode_slots:
-            raw_slots.append((slot, *_word_weights(slot.length)))
-    if "random_words" in layout:
-        raw_slots.append(
-            (scheme.random_slot, *_word_weights(scheme.random_slot.length))
-        )
-
-    def _slot_words(R, slot, wl_ref, wh_ref):
-        r_slot = R[:, slot.offset : slot.offset + slot.length].astype(
-            jnp.bfloat16
-        )
-        low = jnp.dot(r_slot, wl_ref[...], preferred_element_type=jnp.float32)
-        high = jnp.dot(r_slot, wh_ref[...], preferred_element_type=jnp.float32)
+    def _all_words(R, wl_ref, wh_ref):
+        rb = R.astype(jnp.bfloat16)
+        low = jnp.dot(rb, wl_ref[...], preferred_element_type=jnp.float32)
+        high = jnp.dot(rb, wh_ref[...], preferred_element_type=jnp.float32)
         return low.astype(jnp.int32) + high.astype(jnp.int32) * 32768
 
     def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
@@ -539,10 +719,12 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         else:
             scan_w_ref = refs[0]
             refs = refs[1:]
-        slot_w_refs = refs[: len(matchers)]
-        refs = refs[len(matchers) :]
-        word_w_refs = refs[: 2 * len(raw_slots)]
-        wire_ref, status_ref = refs[2 * len(raw_slots) :]
+        n_mats = 1 if W_all is not None else len(slot_mats)
+        slot_w_refs = refs[:n_mats]
+        refs = refs[n_mats:]
+        n_word_refs = 2 if raw_slots else 0
+        word_w_refs = refs[:n_word_refs]
+        wire_ref, status_ref = refs[n_word_refs:]
 
         tile = pl.program_id(0)
         basesf = bases_ref[...].astype(jnp.float32)
@@ -572,11 +754,10 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         combo = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
-        for s_i, (name, slot, Wm, nc, nc_pad, budget) in enumerate(matchers):
-            r = R[:, slot.offset : slot.offset + slot.length]
-            idx, ok = _kernel_match(
-                r, slot_w_refs[s_i], nc, nc_pad, slot.length, budget, TB
-            )
+        results = _run_matchers(
+            R, W_all, metas, slot_mats, slot_w_refs, F, TB
+        )
+        for (name, slot, _, _, _, _), (idx, ok) in zip(metas, results):
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
             status = jnp.where(ok_so_far & ~ok, code, status)
             ok_so_far = ok_so_far & ok
@@ -593,11 +774,13 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         valid_i = valid.astype(jnp.int32)
 
         # ---- wire assembly (ops.decode.keyed_wire_layout) ----
-        word_iter = iter(range(0, 2 * len(raw_slots), 2))
+        if raw_slots:
+            words = _all_words(R, word_w_refs[0], word_w_refs[1])
+        slot_col = {id(s): c for s, c in zip(raw_slots, word_cols)}
 
         def next_words(slot):
-            k = next(word_iter)
-            return _slot_words(R, slot, word_w_refs[k], word_w_refs[k + 1])
+            c0, nw = slot_col[id(slot)]
+            return words[:, c0 : c0 + nw]
 
         cols = []
         if fused is not None:
@@ -622,9 +805,11 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         wire_ref[...] = jnp.concatenate(cols, axis=1)
         status_ref[...] = status
 
-    consts_np = [W_scan] + [Wm for (_, _, Wm, _, _, _) in matchers]
-    for _, Wl, Wh in raw_slots:
-        consts_np += [Wl, Wh]
+    consts_np = [W_scan] + (
+        [W_all] if W_all is not None else [Wm for Wm, _ in slot_mats]
+    )
+    if raw_slots:
+        consts_np += [Wl_all, Wh_all]
 
     def fn(bases, lengths, n_reads, quals=None):
         B = bases.shape[0]
@@ -650,22 +835,11 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                              memory_space=pltpu.VMEM)
             )
             args.append(quals)
-        in_specs.append(
-            pl.BlockSpec(W_scan.shape, lambda i, *_: (0, 0),
-                         memory_space=pltpu.VMEM)
-        )
         in_specs += [
-            pl.BlockSpec(Wm.shape, lambda i, *_: (0, 0),
+            pl.BlockSpec(w.shape, lambda i, *_: (0, 0),
                          memory_space=pltpu.VMEM)
-            for (_, _, Wm, _, _, _) in matchers
+            for w in consts_np
         ]
-        for _, Wl, Wh in raw_slots:
-            in_specs += [
-                pl.BlockSpec(Wl.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(Wh.shape, lambda i, *_: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ]
         args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
         wire, status = pl.pallas_call(
             kernel,
