@@ -157,6 +157,7 @@ def main():
     import jax
 
     link_mbps = None
+    link_ceiling_rps = None
     if jax.devices()[0].platform != "cpu":
         import jax.numpy as jnp
 
@@ -168,6 +169,42 @@ def main():
         t0 = time.perf_counter()
         int(fsum(jax.device_put(np.roll(probe, 1))))
         link_mbps = round(16 / (time.perf_counter() - t0), 1)
+
+        # Transfer-only ceiling on the REAL wire payload in the SAME
+        # relay phase: ship actual e2e batches (col-major packed wire +
+        # lengths + exception buckets) through the jit-argument path
+        # with a trivial reduction, no decode.  e2e / this ratio states
+        # how much of the currently-available link the pipeline uses
+        # (the relay's hour-scale phase swings make the absolute e2e
+        # number meaningless without it; see BENCH.md).
+        from ngs_barcode_count_tpu.io.parallel_ingest import (
+            read_fastq_packed_parallel,
+        )
+
+        tsum = jax.jit(
+            lambda p, l, ei, ev: jnp.sum(p, dtype=jnp.int32)
+            + jnp.sum(l, dtype=jnp.int32) + jnp.sum(ei, dtype=jnp.int32)
+        )
+        n_probe = 0
+        t0 = None
+        acc_probe = None
+        for k, pbw in enumerate(read_fastq_packed_parallel(
+            fastq, min_width=scheme.length, batch_reads=batch_size,
+        )):
+            # dispatch asynchronously so transfers pipeline exactly like
+            # the e2e loop's; sync only the final scalar
+            r = tsum(pbw.packed, pbw.lengths, pbw.exc_idx, pbw.exc_val)
+            if k == 0:
+                int(r)  # warm the compile, then start the clock
+                t0 = time.perf_counter()
+            else:
+                acc_probe = r
+                n_probe += pbw.n_reads
+            if k == 16:
+                break
+        if n_probe:
+            int(acc_probe)
+            link_ceiling_rps = round(n_probe / (time.perf_counter() - t0), 1)
 
     # Timed end-to-end passes.  The headline is the SUSTAINED number
     # (total reads / total time across both passes); the best pass is
@@ -247,26 +284,14 @@ def main():
         n_ing += pb2.n_reads
     ingest_rps = n_ing / (time.perf_counter() - t0)
 
-    # Analytic kernel FLOPs per read (the two MXU stages; the realign
-    # FMA and VPU reductions are <2% and excluded):
-    #   scan matmul  [B,5L]x[5L,3*O_pad]     = 2*5L*3*O_pad
-    #   slot matmuls [B,5sl]x[5sl,nc_pad]    = sum 2*5*sl*nc_pad
-    def _round_up(x, m):
-        return -(-x // m) * m
+    # Analytic kernel FLOPs per read (the MXU stages as actually built —
+    # fused all-slot matcher or per-slot fallback; the realign shifter
+    # and VPU reductions are excluded):
+    from ngs_barcode_count_tpu.ops.pallas_decode import (
+        kernel_flops_per_read,
+    )
 
-    L = pb.width
-    O_pad = _round_up(L - scheme.length + 1, 128)
-    flops_per_read = 2 * 5 * L * 3 * O_pad
-    slot_list = []
-    if scheme.sample_slot is not None and plan.sample_onehot is not None:
-        slot_list.append(
-            (scheme.sample_slot.length, plan.sample_onehot.shape[0])
-        )
-    if plan.counted_onehots is not None:
-        for i, s in enumerate(scheme.barcode_slots):
-            slot_list.append((s.length, plan.counted_onehots[i].shape[0]))
-    for sl, nc in slot_list:
-        flops_per_read += 2 * 5 * sl * _round_up(max(nc, 1), 128)
+    flops_per_read = kernel_flops_per_read(plan, pb.width)
     kernel_tflops = dev_rps * flops_per_read / 1e12
     # v5e MXU peak: 197 TFLOP/s bf16 (matmul operands here are exact
     # small integers carried in bf16 where gated, f32 otherwise)
@@ -295,6 +320,11 @@ def main():
                     "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
                     "ingest_reads_per_s": round(ingest_rps, 1),
                     "link_probe_mbps_random_bytes": link_mbps,
+                    "link_ceiling_reads_per_s": link_ceiling_rps,
+                    "e2e_fraction_of_link_ceiling": (
+                        round(rps / link_ceiling_rps, 3)
+                        if link_ceiling_rps else None
+                    ),
                 },
             }
         )

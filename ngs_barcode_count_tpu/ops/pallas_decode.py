@@ -242,6 +242,36 @@ def _run_matchers(R, W_all, metas, slot_mats, slot_w_refs, F, TB):
     return out
 
 
+def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
+    """Analytic MXU FLOPs/read of the fused dense kernel as built for
+    width L: the scan matmul plus the matcher matmul(s), reflecting the
+    fused-vs-per-slot choice _build_matchers makes (bench.py reports
+    MFU from this)."""
+    scheme = plan.scheme
+    F = scheme.length
+    O_pad = _round_up(L - F + 1, 128)
+    flops = 2 * 5 * L * 3 * O_pad
+    slot_defs = []
+    if scheme.sample_slot is not None and plan.sample_onehot is not None:
+        slot_defs.append(
+            ("sample", scheme.sample_slot, plan.sample_onehot,
+             plan.sample_n_mask, 0)
+        )
+    if plan.counted_onehots is not None:
+        for i, slot in enumerate(scheme.barcode_slots):
+            slot_defs.append(
+                (f"bc{i}", slot, plan.counted_onehots[i],
+                 plan.counted_n_masks[i], 0)
+            )
+    W_all, metas, slot_mats = _build_matchers(slot_defs, F)
+    if W_all is not None:
+        flops += 2 * 5 * F * W_all.shape[1]
+    else:
+        for (_, slot, _, _, nc_pad, _) in metas:
+            flops += 2 * 5 * slot.length * nc_pad
+    return flops
+
+
 def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
                       O, O_pad, n_const, n_wild, max_const):
     """Shared per-tile front end of every decode kernel: the one-matmul

@@ -223,3 +223,50 @@ def test_pallas_keyed_wire_parity(rng):
     np.testing.assert_array_equal(
         np.asarray(wire2_p)[valid2], wire2_x[valid2]
     )
+
+
+def test_pallas_per_slot_fallback_parity(dense_setup, rng, monkeypatch):
+    """Schemes whose fused matcher matrix would not fit VMEM fall back
+    to per-slot matmuls; that formulation must stay bit-identical."""
+    scheme, plan, oracle, conv = dense_setup
+    monkeypatch.setattr(pdec, "_FUSED_MATCH_VMEM", 0)
+    reads = gen_reads(rng, scheme, 64, err_range=(0, 10))
+    quals = ["I" * len(r) for r in reads]
+    flat_p, status_p, valid_x, flat_x, counters_x, B = _run_both(
+        plan, reads, quals
+    )
+    valid_p = status_p[:B] == pdec.ST_VALID
+    np.testing.assert_array_equal(valid_p, valid_x[:B])
+    np.testing.assert_array_equal(flat_p[:B][valid_p], flat_x[:B][valid_p])
+
+
+def test_pallas_front_key_overflow_fallback(dense_setup, rng, monkeypatch):
+    """Exotic formats whose packed repair key would overflow int32 use
+    the 4-reduction selection; semantics must not change."""
+    scheme, plan, oracle, conv = dense_setup
+    monkeypatch.setattr(
+        pdec, "_front_key_bound", lambda *a: 1 << 40
+    )
+    reads = gen_reads(rng, scheme, 64, err_range=(0, 12))
+    quals = ["I" * len(r) for r in reads]
+    flat_p, status_p, valid_x, flat_x, counters_x, B = _run_both(
+        plan, reads, quals
+    )
+    valid_p = status_p[:B] == pdec.ST_VALID
+    np.testing.assert_array_equal(valid_p, valid_x[:B])
+    np.testing.assert_array_equal(flat_p[:B][valid_p], flat_x[:B][valid_p])
+
+
+def test_realign_matches_numpy(rng):
+    """The log2 lane shifter is an exact gather: R[b,p]=src[b,shift+p]."""
+    TB, L, F = 8, 40, 13
+    O = L - F + 1
+    src = rng.integers(0, 7, (TB, L)).astype(np.float32)
+    shift = rng.integers(0, O, (TB, 1)).astype(np.int32)
+    got = np.asarray(
+        jax.jit(lambda s, sh: pdec._realign(s, sh, L, O, TB, F))(src, shift)
+    )
+    want = np.stack(
+        [src[b, shift[b, 0] : shift[b, 0] + F] for b in range(TB)]
+    )
+    np.testing.assert_array_equal(got, want)
