@@ -22,6 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
         prog="ngs-barcode-count-tpu",
         description="Counts barcodes located in sequencing data (TPU-native)",
     )
+    p.add_argument(
+        "-V", "--version", action="version",
+        version="%(prog)s 0.1.0",  # clap's -V/--version (arguments.rs:28)
+    )
     p.add_argument("-f", "--fastq", required=True, help="FastQ file")
     p.add_argument(
         "-q", "--sequence-format", required=True, dest="format",

@@ -617,13 +617,27 @@ def random_hashset_step(
     n_over [1] int32): over_rows[:n_over] are (flat, ridx) of reads the
     table could not place (probe cluster full) for exact host handling.
     """
-    S = table.shape[0]
     r = decode_batch(plan, bases, quals, lengths, read_mask)
     valid = r["valid"]
-    B = valid.shape[0]
     flat = r["sample_idx"] * plan.n_combos + r["combo_flat"]
     flat = jnp.where(valid, flat, 0)
     ridx = random_base6_index(r["random_codes"])
+    return hashset_update(
+        plan, table, counts, counters, r["counters"], valid, flat, ridx, cap
+    )
+
+
+def hashset_update(
+    plan: DecodePlan, table, counts, counters, counters_add, valid, flat,
+    ridx, cap: int,
+):
+    """The dedup/count tail of random_hashset_step, shared by the XLA
+    and Pallas-kernel front ends: in-batch exact dedup (lex sort), the
+    linear-probe table update, count scatter, and overflow compaction.
+    ``counters_add`` carries the decode front end's error tallies;
+    MATCHED/DUPLICATES are overwritten here from the dedup outcome."""
+    S = table.shape[0]
+    B = valid.shape[0]
 
     slot = (_mix32(flat, ridx, 0x85EBCA6B, 0xC2B2AE35) % np.uint32(S)).astype(
         jnp.int32
@@ -664,7 +678,7 @@ def random_hashset_step(
     counts = counts.at[jnp.where(is_new, flat, 0)].add(
         is_new.astype(counts.dtype)
     )
-    add = r["counters"]
+    add = counters_add
     add = add.at[stats.MATCHED].set(jnp.sum(is_new))
     add = add.at[stats.DUPLICATES].set(jnp.sum(resolved_dup))
     counters = counters + add
@@ -900,6 +914,41 @@ def keyed_wire_layout(plan: DecodePlan) -> dict:
         pos += w
     layout["total"] = pos
     return layout
+
+
+def wire_hashset_inputs(plan: DecodePlan, wire):
+    """Recover (valid, flat, ridx) from a keyed wire matrix — the exact
+    values the XLA hashset front end computes from decode_batch, so the
+    Pallas keyed kernel (whose wire is bit-identical, TPU_CHECK.json)
+    can drive hashset_update.  Requires dense sample+counted ids and a
+    random slot (the hashset mode's precondition)."""
+    layout = keyed_wire_layout(plan)
+    if "fused" in layout:
+        _, _, s_bits, c_bits = layout["fused"]
+        col0 = wire[:, 0]
+        valid = (col0 >> (s_bits + c_bits)) == 1
+        sample_idx = (col0 >> c_bits) & ((1 << s_bits) - 1)
+        combo = col0 & ((1 << c_bits) - 1)
+    else:
+        valid = wire[:, layout["valid"][0]] == 1
+        sample_idx = (
+            wire[:, layout["sample_idx"][0]]
+            if "sample_idx" in layout
+            else jnp.zeros(wire.shape[0], jnp.int32)
+        )
+        combo = wire[:, layout["combo_flat"][0]]
+    flat = jnp.where(valid, sample_idx * plan.n_combos + combo, 0)
+    # random words (3-bit digits, low 5 in bits 0..14, high 5 in 15..29;
+    # pack_slot_words) -> the same base-6 index random_base6_index
+    # yields, digit by digit (int32 wrap semantics match for long slots)
+    pos, _ = layout["random_words"]
+    Lr = plan.scheme.random_slot.length
+    ridx = jnp.zeros(wire.shape[0], jnp.int32)
+    for i in range(Lr):
+        w, r = divmod(i, 10)
+        digit = (wire[:, pos + w] >> (3 * r)) & 7
+        ridx = ridx * 6 + digit
+    return valid, flat, ridx
 
 
 @partial(jax.jit, static_argnums=(0, 5))

@@ -895,6 +895,72 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
     return jax.jit(fn)
 
 
+def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
+                              TB: int = 256, interpret: bool = False):
+    """Random-mode device hash-set step with the fused kernel as the
+    decode front end: unpack -> Pallas keyed decode -> wire ->
+    (valid, flat, ridx) -> ops.decode.hashset_update, all in one jit.
+    Drop-in for ops.decode.random_hashset_step_packed[_q] (the XLA front
+    end measured 374 ns/read vs the kernel's 56; the dedup tail is
+    shared, so table/counts/counters/overflow stay bit-identical)."""
+    key = ("hashset", id(plan), width, cap, TB)
+    if key in _PACKED_STEP_CACHE:
+        return _PACKED_STEP_CACHE[key]
+    import functools
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.ops.decode import (
+        hashset_update,
+        unpack_bases,
+        wire_hashset_inputs,
+    )
+
+    decode_fn = build_pallas_decode_keyed(
+        plan, width, TB=TB, interpret=interpret
+    )
+    with_quals = plan.min_quality > 0.0
+
+    def _counters_add(status):
+        add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
+        add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
+        add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+        add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
+        return add
+
+    def _core(table, counts, counters, packed, lengths, exc_idx, exc_val,
+              n_reads, quals):
+        bases = unpack_bases(packed, exc_idx, exc_val, width)
+        args = (bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32))
+        wire, status = (
+            decode_fn(*args, quals) if with_quals else decode_fn(*args)
+        )
+        valid, flat, ridx = wire_hashset_inputs(plan, wire)
+        return hashset_update(
+            plan, table, counts, counters, _counters_add(status),
+            valid, flat, ridx, cap,
+        )
+
+    if with_quals:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(table, counts, counters, packed, lengths, exc_idx,
+                 exc_val, n_reads, quals):
+            return _core(table, counts, counters, packed, lengths,
+                         exc_idx, exc_val, n_reads, quals)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(table, counts, counters, packed, lengths, exc_idx,
+                 exc_val, n_reads):
+            return _core(table, counts, counters, packed, lengths,
+                         exc_idx, exc_val, n_reads, None)
+
+    _PACKED_STEP_CACHE[key] = step
+    return step
+
+
 def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
                                    TB: int = 256):
     """Wire-format keyed step with the fused kernel inside (cached like

@@ -332,6 +332,31 @@ class CountAccumulator:
                 self._pallas_keyed_steps[width] = None
         return self._pallas_keyed_steps[width]
 
+    def _pallas_hashset_step_for(self, width: int, cap: int):
+        """Random-mode hash-set step with the fused kernel as decode
+        front end (same gating as the keyed step; the dedup tail is the
+        shared ops.decode.hashset_update, so state stays bit-identical
+        to the XLA front end's)."""
+        if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
+            return None
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return None
+        if not hasattr(self, "_pallas_hashset_steps"):
+            self._pallas_hashset_steps = {}
+        key = (width, cap)
+        if key not in self._pallas_hashset_steps:
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+            try:
+                self._pallas_hashset_steps[key] = (
+                    pdec.build_pallas_hashset_step(self.plan, width, cap)
+                )
+            except Exception:
+                self._pallas_hashset_steps[key] = None
+        return self._pallas_hashset_steps[key]
+
     def _shard_packed(self, pb) -> None:
         """Multi-device keyed/bitmap runs: place batch rows sharded over
         the data mesh so jit partitions the step across chips."""
@@ -426,7 +451,18 @@ class CountAccumulator:
         if self.hashset is not None:
             cap = max(pb.packed.shape[0] // 8, 1024)
             pb.lengths = self._lengths_dev(pb.lengths)
-            if pb.quals is not None:
+            pstep = (
+                self._pallas_hashset_step_for(pb.width, cap)
+                if pb.packed.shape[0] % 256 == 0 else None
+            )
+            if pstep is not None:
+                q = (pb.quals,) if pb.quals is not None else ()
+                (self.hashset, self.dense_state, self.dense_counters,
+                 over, n_over) = pstep(
+                    self.hashset, self.dense_state, self.dense_counters,
+                    pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n, *q,
+                )
+            elif pb.quals is not None:
                 (self.hashset, self.dense_state, self.dense_counters,
                  over, n_over) = dec.random_hashset_step_packed_q(
                     plan, self.hashset, self.dense_state,

@@ -270,3 +270,78 @@ def test_realign_matches_numpy(rng):
         [src[b, shift[b, 0] : shift[b, 0] + F] for b in range(TB)]
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_hashset_step_equals_xla(tmp_path, rng, monkeypatch):
+    """The Pallas-front-end hash-set step must produce bit-identical
+    table/counts/counters/overflow to the XLA front end (they share
+    hashset_update; this pins the wire -> (valid, flat, ridx)
+    reconstruction, incl. the base-6 digit rebuild from 3-bit words)."""
+    from tests.test_end_to_end import (
+        SCHEME_RANDOM_TEXT, write_inputs, _mk_config, SAMPLES, BC1, BC2, BC3,
+    )
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.runner import setup
+    from ngs_barcode_count_tpu.utils import simulate
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg = _mk_config(tmp_path, "r.fastq", paths)
+    scheme, conv, me, plan, _ = setup(cfg)
+    randoms = ["ACGTACGT", "TTGGCCAA", "AAAATTTT", "CGCGCGCG", "NNACGTAC"]
+    reads, quals = [], []
+    for _ in range(300):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 3)] for s in (BC1, BC2, BC3)],
+            random_barcode=randoms[rng.integers(0, len(randoms))],
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 6)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "r.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    pb = next(iter(read_fastq_packed_parallel(
+        str(fq), min_width=scheme.length, batch_reads=512,
+    )))
+    if getattr(pb, "transposed", False):
+        pb.packed = np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    n = np.array([pb.n_reads], np.int32)
+    cap = 64
+    S = 128  # tiny: probe chains + overflow both fire
+
+    def fresh():
+        return (
+            jnp.zeros(S, jnp.uint32),
+            jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32),
+            jnp.zeros(stats.NUM_COUNTERS, jnp.int32),
+        )
+
+    t_x, c_x, ctr_x = fresh()
+    t_x, c_x, ctr_x, over_x, n_over_x = dec.random_hashset_step_packed(
+        plan, t_x, c_x, ctr_x, pb.packed, pb.lengths, pb.exc_idx,
+        pb.exc_val, pb.width, cap, n,
+    )
+    pstep = pdec.build_pallas_hashset_step(
+        plan, pb.width, cap, TB=8, interpret=True
+    )
+    t_p, c_p, ctr_p = fresh()
+    t_p, c_p, ctr_p, over_p, n_over_p = pstep(
+        t_p, c_p, ctr_p, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n,
+    )
+    np.testing.assert_array_equal(np.asarray(t_x), np.asarray(t_p))
+    np.testing.assert_array_equal(np.asarray(c_x), np.asarray(c_p))
+    np.testing.assert_array_equal(np.asarray(ctr_x), np.asarray(ctr_p))
+    np.testing.assert_array_equal(
+        np.asarray(n_over_x), np.asarray(n_over_p)
+    )
+    k = int(np.asarray(n_over_x)[0])
+    assert k > 0  # the tiny table must actually overflow
+    np.testing.assert_array_equal(
+        np.asarray(over_x)[:k], np.asarray(over_p)[:k]
+    )
+    assert int(np.asarray(ctr_x)[stats.DUPLICATES]) > 0
