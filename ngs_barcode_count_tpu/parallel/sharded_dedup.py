@@ -100,6 +100,29 @@ class ShardedHashsetEngine:
         cap_over = max(R // 8, 256)
         c6 = 6 ** plan.scheme.random_slot.length
 
+        # Fused-kernel decode front end per shard (same gating as the
+        # keyed single-device path: Pallas wherever a TPU is attached;
+        # the wire -> (valid, flat, ridx) reconstruction is shared with
+        # ops.pallas_decode.build_pallas_hashset_step)
+        decode_kernel = None
+        # NGS_PALLAS_INTERPRET=1: interpret-mode kernel on the CPU mesh
+        # (tests; Mosaic does not lower on CPU)
+        interp = os.environ.get("NGS_PALLAS_INTERPRET") == "1"
+        tb = 8 if interp else 256
+        if (
+            R % tb == 0
+            and (interp or jax.devices()[0].platform != "cpu")
+            and os.environ.get("NGS_DECODE_KERNEL", "pallas") == "pallas"
+        ):
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+            try:
+                decode_kernel = pdec.build_pallas_decode_keyed(
+                    plan, width, TB=tb, interpret=interp
+                )
+            except Exception:
+                decode_kernel = None
+
         def local_step(table, counts, counters, packed, lengths, exc_idx,
                        exc_val, n_reads, quals):
             from ngs_barcode_count_tpu.ops.decode import unpack_bases
@@ -113,13 +136,37 @@ class ShardedHashsetEngine:
                 jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
                 .squeeze(-1) < local_n
             )
-            q = quals if quals is not None else jnp.zeros((rows, 1), jnp.int8)
-            r = dec.decode_batch(plan, bases, q, lengths, mask)
-            valid = r["valid"]
-            flat = jnp.where(
-                valid, r["sample_idx"] * plan.n_combos + r["combo_flat"], 0
-            )
-            ridx = dec.random_base6_index(r["random_codes"])
+            if decode_kernel is not None:
+                from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+                wire, status = decode_kernel(
+                    bases, lengths.astype(jnp.int32), local_n[None],
+                    *(() if quals is None else (quals,)),
+                )
+                valid, flat, ridx = dec.wire_hashset_inputs(plan, wire)
+                dec_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+                for st, ctr in (
+                    (pdec.ST_CONST, stats.CONSTANT_REGION),
+                    (pdec.ST_SAMPLE, stats.SAMPLE_BARCODE),
+                    (pdec.ST_BARCODE, stats.BARCODE),
+                    (pdec.ST_LOWQ, stats.LOW_QUALITY),
+                ):
+                    dec_counters = dec_counters.at[ctr].set(
+                        jnp.sum(status == st)
+                    )
+            else:
+                q = (
+                    quals if quals is not None
+                    else jnp.zeros((rows, 1), jnp.int8)
+                )
+                r = dec.decode_batch(plan, bases, q, lengths, mask)
+                valid = r["valid"]
+                flat = jnp.where(
+                    valid,
+                    r["sample_idx"] * plan.n_combos + r["combo_flat"], 0,
+                )
+                ridx = dec.random_base6_index(r["random_codes"])
+                dec_counters = r["counters"]
 
             S_total = n * S_local
             slot_g = (
@@ -212,7 +259,7 @@ class ShardedHashsetEngine:
             counts = counts.at[0, jnp.where(is_new, r_flat, 0)].add(
                 is_new.astype(counts.dtype)
             )
-            add = r["counters"]  # decode-side tallies from MY data shard
+            add = dec_counters  # decode-side tallies from MY data shard
             add = add.at[stats.MATCHED].set(jnp.sum(is_new))
             add = add.at[stats.DUPLICATES].set(jnp.sum(resolved_dup))
             counters = counters + add[None, :]

@@ -466,14 +466,17 @@ def test_device_hashset_dedup_equals_host_keyed(tmp_path, rng, monkeypatch):
         acc_host.results_view().per_sample
 
 
-@pytest.mark.parametrize("bucket_cap", [None, "3"])
+@pytest.mark.parametrize(
+    "bucket_cap,kernel", [(None, False), ("3", False), (None, True)]
+)
 def test_sharded_hashset_dedup_equals_single(tmp_path, rng, monkeypatch,
-                                             bucket_cap):
+                                             bucket_cap, kernel):
     """Multi-device random mode: the table shards over the data mesh and
     triples route to owner devices via all_to_all; counts must equal the
     single-device hash set and the host keyed path exactly — including
-    with a tiny table (probe overflow) and, parametrized, a tiny
-    all_to_all bucket cap (bucket overflow)."""
+    with a tiny table (probe overflow), a tiny all_to_all bucket cap
+    (bucket overflow), and with the Pallas keyed kernel as the per-shard
+    decode front end (interpret mode on this CPU mesh)."""
     import jax
 
     if len(jax.devices()) < 4:
@@ -492,6 +495,8 @@ def test_sharded_hashset_dedup_equals_single(tmp_path, rng, monkeypatch,
     monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
     if bucket_cap:
         monkeypatch.setenv("NGS_DEDUP_BUCKET_CAP", bucket_cap)
+    if kernel:
+        monkeypatch.setenv("NGS_PALLAS_INTERPRET", "1")
     scheme, conv, me, plan, _ = setup(cfg)
 
     acc1 = CountAccumulator(plan, conv)
