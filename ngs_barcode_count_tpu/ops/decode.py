@@ -683,10 +683,15 @@ def hashset_update(
     add = add.at[stats.DUPLICATES].set(jnp.sum(resolved_dup))
     counters = counters + add
 
-    # compact overflow rows to a fixed-cap prefix (host fetches [:n])
-    not_over = (~overflow).astype(jnp.int32)
-    _, o_flat, o_ridx = jax.lax.sort((not_over, flat, ridx), num_keys=1)
-    over_rows = jnp.stack([o_flat[:cap], o_ridx[:cap]], axis=1)
+    # compact overflow rows to a fixed-cap prefix (host fetches [:n];
+    # cumsum-scatter, ~7% cheaper than the sort-based compaction and
+    # order does not matter: the host treats the rows as a set, and
+    # n > cap aborts before any row is read)
+    pos = jnp.cumsum(overflow.astype(jnp.int32)) - 1
+    dst = jnp.where(overflow & (pos < cap), pos, cap)
+    over_rows = jnp.zeros((cap, 2), jnp.int32).at[dst].set(
+        jnp.stack([flat, ridx], axis=1), mode="drop"
+    )
     n_over = jnp.sum(overflow.astype(jnp.int32))
     return table, counts, counters, over_rows, n_over[None]
 

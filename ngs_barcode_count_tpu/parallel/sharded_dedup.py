@@ -271,12 +271,11 @@ class ShardedHashsetEngine:
             )
             ov_flat = jnp.concatenate([r_flat, fl_s])
             ov_ridx = jnp.concatenate([r_ridx, rx_s])
-            not_over = (~ov_flag).astype(jnp.int32)
-            _, c_flat, c_ridx = jax.lax.sort(
-                (not_over, ov_flat, ov_ridx), num_keys=1
-            )
-            over_rows = jnp.stack(
-                [c_flat[:cap_over], c_ridx[:cap_over]], axis=1
+            # cumsum-scatter compaction (see ops.decode.hashset_update)
+            pos = jnp.cumsum(ov_flag.astype(jnp.int32)) - 1
+            dst = jnp.where(ov_flag & (pos < cap_over), pos, cap_over)
+            over_rows = jnp.zeros((cap_over, 2), jnp.int32).at[dst].set(
+                jnp.stack([ov_flat, ov_ridx], axis=1), mode="drop"
             )
             n_over = jnp.sum(ov_flag.astype(jnp.int32))
             return (
