@@ -246,37 +246,83 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     O_pad = _round_up(O, 128)
     w = jnp.asarray(_scan_matrix(plan, L, O, O_pad), jnp.bfloat16)
     out = jnp.dot(x1h, w, preferred_element_type=jnp.float32)
-    strict = out[:, :O].astype(jnp.int32)
-    wild = out[:, O_pad : O_pad + O].astype(jnp.int32)
-    relax = out[:, 2 * O_pad : 2 * O_pad + O].astype(jnp.int32)
+    strict = out[:, :O_pad].astype(jnp.int32)
+    wild = out[:, O_pad : 2 * O_pad].astype(jnp.int32)
+    relax = out[:, 2 * O_pad :].astype(jnp.int32)
 
-    offs = jnp.arange(O, dtype=jnp.int32)[None, :]
+    offs = jnp.arange(O_pad, dtype=jnp.int32)[None, :]
     lengths = lengths.astype(jnp.int32)[:, None]
     # Regex can match wherever the window fits inside the true read.
-    in_range = offs + F <= lengths
-    wild_ok = wild == n_wild
-    exact = (strict == n_const) & wild_ok & in_range
-    has_exact = jnp.any(exact, axis=1)
-    exact_off = jnp.argmax(exact, axis=1).astype(jnp.int32)  # leftmost True
+    in_range = (offs + F <= lengths) & (offs < O)
+    exact = (strict == n_const) & (wild == n_wild) & in_range
+    # leftmost True: one min-reduction also yields has_exact
+    exact_off = jnp.min(jnp.where(exact, offs, _BIG), axis=1).astype(
+        jnp.int32
+    )
+    has_exact = exact_off != _BIG
+    exact_off = jnp.where(has_exact, exact_off, 0)
 
     # Repair windows: the reference iterates 0..(len - F) EXCLUSIVE
     # (parse.rs:295), so the final alignment is never tried; --fix-quirks
     # includes it.
     if plan.fix_quirks:
-        rep_in_range = offs + F <= lengths
+        rep_in_range = (offs + F <= lengths) & (offs < O)
     else:
-        rep_in_range = offs + F < lengths
-    mism = jnp.where(rep_in_range, n_const - relax, _BIG)
-    mism_min = jnp.min(mism, axis=1)
-    rep_off = jnp.argmin(mism, axis=1).astype(jnp.int32)
-    n_best = jnp.sum((mism == mism_min[:, None]) & rep_in_range, axis=1)
-    repair_ok = (
-        (mism_min <= plan.max_errors.constant_region)
-        & (n_best == 1)
-        # After repair the regex re-runs on the rebuilt read: explicit-N
-        # positions must be A/C/G/T there too (info.rs:287-295's [AGCT]).
-        & jnp.take_along_axis(wild_ok, rep_off[:, None], axis=1)[:, 0]
+        rep_in_range = (offs + F < lengths) & (offs < O)
+    max_const = plan.max_errors.constant_region
+    from ngs_barcode_count_tpu.ops.pallas_decode import (
+        _front_key_bound,
+        _next_pow2,
     )
+
+    if _front_key_bound(n_const, O_pad, n_wild) < (1 << 30):
+        # Pack (mismatches, offset, wild-hits) into one int32 key per
+        # lane and recover min-mism / first and last best offset (the
+        # tie-drop) / wild count at the pick from TWO min-reductions —
+        # the six O-wide reduction/gather ops of the natural
+        # formulation were ~55% of this step's device time (the fused
+        # Pallas kernel uses the identical packing).
+        cw_bits = (_next_pow2(n_wild + 1) - 1).bit_length()
+        op_bits = (_next_pow2(O_pad) - 1).bit_length()
+        op_mask = (1 << op_bits) - 1
+        big_key = jnp.int32(1 << 30)
+        mism = n_const - relax
+        key1 = jnp.where(
+            rep_in_range,
+            ((mism << op_bits) | offs) << cw_bits | wild,
+            big_key,
+        )
+        key2 = jnp.where(
+            rep_in_range,
+            ((mism << op_bits) | (op_mask - offs)) << cw_bits,
+            big_key,
+        )
+        k1 = jnp.min(key1, axis=1)
+        k2 = jnp.min(key2, axis=1)
+        mism_min = k1 >> (op_bits + cw_bits)  # huge when no window
+        o_first = (k1 >> cw_bits) & op_mask
+        wild_at_rep = k1 & ((1 << cw_bits) - 1)
+        o_last = op_mask - ((k2 >> cw_bits) & op_mask)
+        repair_ok = (
+            (mism_min <= max_const) & (o_first == o_last)
+            # After repair the regex re-runs on the rebuilt read:
+            # explicit-N positions must be A/C/G/T there too
+            # (info.rs:287-295's [AGCT]).
+            & (wild_at_rep == n_wild)
+        )
+        rep_off = jnp.where(k1 == big_key, 0, o_first)
+    else:  # exotic formats whose key would overflow int32
+        mism = jnp.where(rep_in_range, n_const - relax, _BIG)
+        mism_min = jnp.min(mism, axis=1)
+        rep_off = jnp.argmin(mism, axis=1).astype(jnp.int32)
+        n_best = jnp.sum((mism == mism_min[:, None]) & rep_in_range, axis=1)
+        repair_ok = (
+            (mism_min <= max_const)
+            & (n_best == 1)
+            & jnp.take_along_axis(
+                wild == n_wild, rep_off[:, None], axis=1
+            )[:, 0]
+        )
     return has_exact, exact_off, repair_ok, rep_off
 
 
@@ -330,9 +376,24 @@ def match_barcodes(
             preferred_element_type=jnp.float32,
         )
     m = sl - matches.astype(jnp.int32)  # [B, n_codes] mismatch counts
-    m_min = jnp.min(m, axis=1)
-    idx = jnp.argmin(m, axis=1).astype(jnp.int32)
-    unique = jnp.sum(m == m_min[:, None], axis=1) == 1
+    nc = m.shape[1]
+    ncp2 = 1 << max(nc - 1, 0).bit_length()
+    if (sl + 1) * ncp2 < (1 << 30):
+        # two packed-key min-reductions instead of min+argmin+sum: the
+        # unique-best test is first-best column == last-best column
+        # (same packing as the Pallas kernel's matcher)
+        nc_bits = (ncp2 - 1).bit_length()
+        nc_mask = ncp2 - 1
+        col = jnp.arange(nc, dtype=jnp.int32)[None, :]
+        kA = jnp.min((m << nc_bits) | col, axis=1)
+        kB = jnp.min((m << nc_bits) | (nc_mask - col), axis=1)
+        m_min = kA >> nc_bits
+        idx = kA & nc_mask
+        unique = idx == (nc_mask - (kB & nc_mask))
+    else:  # gigantic candidate sets: keep the 3-reduction form
+        m_min = jnp.min(m, axis=1)
+        idx = jnp.argmin(m, axis=1).astype(jnp.int32)
+        unique = jnp.sum(m == m_min[:, None], axis=1) == 1
     ok = (m_min <= budget) & unique
     return idx, ok
 
@@ -399,12 +460,28 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
 
     out = {}
 
+    # ONE log2-conditional-shift realign of the whole format window:
+    # every slot extraction becomes a static slice.  Elementwise, so XLA
+    # fuses it (a take_along_axis realign measured 1.8x SLOWER — the
+    # materialized gather broke the per-slot fusion; the shifter variant
+    # measured faster than per-slot gathers).
+    from ngs_barcode_count_tpu.ops.pallas_decode import _realign
+
+    B_, L_ = bases.shape
+    O_ = L_ - F + 1
+    R = _realign(bases, offset[:, None], L_, O_, B_, F)
+
+    def slot_codes_of(slot):
+        return jax.lax.slice_in_dim(
+            R, slot.offset, slot.offset + slot.length, axis=1
+        )
+
     # Sample barcode
     if scheme.sample_slot is None:
         sample_idx = jnp.zeros(bases.shape[0], dtype=jnp.int32)
         sample_ok = alive
     else:
-        sample_codes = extract_slot(bases, offset, scheme.sample_slot)
+        sample_codes = slot_codes_of(scheme.sample_slot)
         if plan.sample_onehot is not None:
             sample_idx, s_ok = match_barcodes(
                 sample_codes,
@@ -425,7 +502,7 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
     if plan.counted_onehots is not None:
         combo_flat = jnp.zeros(bases.shape[0], dtype=jnp.int32)
         for i, slot in enumerate(scheme.barcode_slots):
-            codes = extract_slot(bases, offset, slot)
+            codes = slot_codes_of(slot)
             idx, ok = match_barcodes(
                 codes,
                 plan.counted_onehots[i],
@@ -438,13 +515,13 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
     else:
         # Raw-DNA counted mode: emit per-slot codes for host keying.
         out["counted_codes"] = [
-            extract_slot(bases, offset, slot) for slot in scheme.barcode_slots
+            slot_codes_of(slot) for slot in scheme.barcode_slots
         ]
     barcode_err = sample_ok & ~counted_ok
     valid = counted_ok
 
     if scheme.random_slot is not None:
-        out["random_codes"] = extract_slot(bases, offset, scheme.random_slot)
+        out["random_codes"] = slot_codes_of(scheme.random_slot)
 
     counters = jnp.zeros(stats.NUM_COUNTERS, dtype=jnp.int32)
     counters = counters.at[stats.CONSTANT_REGION].set(
