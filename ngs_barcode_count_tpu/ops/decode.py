@@ -415,12 +415,22 @@ def low_quality_mask(
     """
     if not plan.qual_segments:
         return jnp.zeros(quals.shape[0], dtype=bool)
-    bad = jnp.zeros(quals.shape[0], dtype=bool)
+    # one elementwise shifter realign of the Phred lanes, then each
+    # segment is a static slice (per-segment take_along_axis gathers
+    # cost ~75 ns/read each on TPU; the shifter fuses)
+    from ngs_barcode_count_tpu.ops.pallas_decode import _realign
+
+    B, L = quals.shape
+    F = max(s.start + s.length for s in plan.qual_segments)
+    O = L - F + 1
+    rq = _realign(quals, qual_start[:, None], L, O, B, F).astype(
+        jnp.float32
+    )
+    bad = jnp.zeros(B, dtype=bool)
     for seg in plan.qual_segments:
-        idx = qual_start[:, None] + jnp.arange(
-            seg.start, seg.start + seg.length, dtype=jnp.int32
-        )[None, :]
-        seg_q = jnp.take_along_axis(quals, idx, axis=1).astype(jnp.float32)
+        seg_q = jax.lax.slice_in_dim(
+            rq, seg.start, seg.start + seg.length, axis=1
+        )
         bad = bad | (jnp.mean(seg_q, axis=1) < plan.min_quality)
     return bad
 
