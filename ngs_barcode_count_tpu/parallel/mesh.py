@@ -117,8 +117,32 @@ def match_barcodes_model_parallel(
     # mask out padded candidate rows
     cand_ids = base + jnp.arange(per, dtype=jnp.int32)[None, :]
     is_real = cand_ids < n_total
+    n_model = jax.lax.psum(1, axis)
+    ncp2 = 1 << max(per * n_model - 1, 0).bit_length()
+    if (sl + 1) * ncp2 < (1 << 30):
+        # packed (mism, global col) keys: TWO pmin collectives give the
+        # global first-best and last-best candidate; unique-best iff
+        # they agree (vs 3 collectives for pmin/psum-count/pmin-idx)
+        nc_bits = (ncp2 - 1).bit_length()
+        nc_mask = ncp2 - 1
+        big_key = jnp.int32(1 << 30)
+        kA = jnp.min(
+            jnp.where(is_real, (m << nc_bits) | cand_ids, big_key), axis=1
+        )
+        kB = jnp.min(
+            jnp.where(
+                is_real, (m << nc_bits) | (nc_mask - cand_ids), big_key
+            ),
+            axis=1,
+        )
+        kA = jax.lax.pmin(kA, axis)
+        kB = jax.lax.pmin(kB, axis)
+        m_min = kA >> nc_bits
+        idx = kA & nc_mask
+        uniq = idx == (nc_mask - (kB & nc_mask))
+        ok = (m_min <= budget) & uniq
+        return idx, ok
     m = jnp.where(is_real, m, dec._BIG)
-
     m_min_local = jnp.min(m, axis=1)
     idx_local = base + jnp.argmin(m, axis=1).astype(jnp.int32)
     m_min = jax.lax.pmin(m_min_local, axis)
@@ -157,11 +181,24 @@ def decode_batch_sharded(
         lowq = jnp.zeros_like(const_ok)
     alive = const_ok & ~lowq
 
+    # one elementwise shifter realign; slot extraction = static slices
+    # (same rationale as decode_batch: take_along_axis gathers measured
+    # ~75 ns/read each on TPU)
+    from ngs_barcode_count_tpu.ops.pallas_decode import _realign
+
+    B_, L_ = bases.shape
+    R = _realign(bases, offset[:, None], L_, L_ - F + 1, B_, F)
+
+    def slot_codes_of(slot):
+        return jax.lax.slice_in_dim(
+            R, slot.offset, slot.offset + slot.length, axis=1
+        )
+
     if scheme.sample_slot is None:
         sample_idx = jnp.zeros(bases.shape[0], dtype=jnp.int32)
         sample_ok = alive
     else:
-        sample_codes = dec.extract_slot(bases, offset, scheme.sample_slot)
+        sample_codes = slot_codes_of(scheme.sample_slot)
         oh, nm, n_total = cand["sample"]
         sample_idx, s_ok = match_barcodes_model_parallel(
             sample_codes, oh, nm, n_total, plan.max_errors.sample_barcode,
@@ -173,7 +210,7 @@ def decode_batch_sharded(
     counted_ok = sample_ok
     combo_flat = jnp.zeros(bases.shape[0], dtype=jnp.int32)
     for i, slot in enumerate(scheme.barcode_slots):
-        codes = dec.extract_slot(bases, offset, slot)
+        codes = slot_codes_of(slot)
         oh, nm, n_total = cand["counted"][i]
         idx, ok = match_barcodes_model_parallel(
             codes, oh, nm, n_total, plan.max_errors.barcode[i], model_axis
