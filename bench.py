@@ -262,18 +262,28 @@ def main():
                 d_exc_v, pb.width, d_n,
             )
 
-    acc2 = CountAccumulator(plan, conv)
-    state, counters = dev_step(acc2.dense_state, acc2.dense_counters)
-    np.asarray(counters)  # real sync (block_until_ready can lie via relay)
-    acc3 = CountAccumulator(plan, conv)
-    state, counters = acc3.dense_state, acc3.dense_counters
-    K = 20
-    t0 = time.perf_counter()
-    for _ in range(K):
-        state, counters = dev_step(state, counters)
-    np.asarray(counters)
-    dev_elapsed = time.perf_counter() - t0
-    dev_rps = K * pb.n_reads / dev_elapsed
+    def time_dev(step_fn, K=20):
+        acc_w = CountAccumulator(plan, conv)
+        state, counters = step_fn(acc_w.dense_state, acc_w.dense_counters)
+        np.asarray(counters)  # real sync (block_until_ready lies on relay)
+        acc_t = CountAccumulator(plan, conv)
+        state, counters = acc_t.dense_state, acc_t.dense_counters
+        t0 = time.perf_counter()
+        for _ in range(K):
+            state, counters = step_fn(state, counters)
+        np.asarray(counters)
+        return K * pb.n_reads / (time.perf_counter() - t0)
+
+    dev_rps = time_dev(dev_step)
+
+    # the XLA step (the e2e default on relay links) for comparison
+    def xla_step(state, counters):
+        return dec.dense_count_step_packed(
+            plan, state, counters, d_packed, d_lengths, d_exc_i, d_exc_v,
+            pb.width, d_n,
+        )
+
+    xla_dev_rps = time_dev(xla_step) if pstep is not None else dev_rps
 
     # ingest-only throughput (host side, no device work)
     t0 = time.perf_counter()
@@ -315,6 +325,7 @@ def main():
                     "device_resident_vs_baseline": round(
                         dev_rps / BASELINE_READS_PER_S, 2
                     ),
+                    "xla_device_resident_reads_per_s": round(xla_dev_rps, 1),
                     "kernel_flops_per_read": flops_per_read,
                     "kernel_tflops": round(kernel_tflops, 2),
                     "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
