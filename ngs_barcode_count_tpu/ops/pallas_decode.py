@@ -201,6 +201,34 @@ def _kernel_match_all(R, w_all_ref, metas, F, TB):
 
 
 _FUSED_MATCH_VMEM = 6 << 20  # bf16 W_all budget
+_TILE_VMEM = 5 << 20  # budget for the biggest [TB, X] int32 intermediate
+
+
+def _auto_tb(plan: DecodePlan, L: int, requested: int = 256) -> int:
+    """Shrink the tile height for wide intermediates: a mega-library
+    matcher's [TB, nc_pad] match block (or a long read's [TB, 3*O_pad]
+    scan block) must fit scoped VMEM — a 16k-candidate library at
+    TB=256 is a 16.8MB block that fails Mosaic's 16MB stack limit at
+    COMPILE time, after the build succeeded (hit by
+    scripts/bench_library_scale.py)."""
+    F = plan.scheme.length
+    O_pad = _round_up(L - F + 1, 128)
+    cols = 3 * O_pad
+    nc_pads = []
+    if plan.scheme.sample_slot is not None and plan.sample_onehot is not None:
+        nc_pads.append(_round_up(max(plan.sample_onehot.shape[0], 1), 128))
+    if plan.counted_onehots is not None:
+        for oh in plan.counted_onehots:
+            nc_pads.append(_round_up(max(oh.shape[0], 1), 128))
+    if nc_pads:
+        # the fused matcher (if eligible) sees sum(nc_pads) columns
+        c_all = sum(nc_pads)
+        fused_ok = 2 * 5 * F * c_all <= _FUSED_MATCH_VMEM
+        cols = max(cols, c_all if fused_ok else max(nc_pads))
+    tb = requested
+    while tb > 8 and tb * cols * 4 > _TILE_VMEM:
+        tb //= 2
+    return tb
 
 
 def _build_matchers(slot_defs, F: int):
@@ -579,7 +607,8 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
 _PACKED_STEP_CACHE: dict = {}
 
 
-def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
+def build_pallas_packed_step(plan: DecodePlan, width: int,
+                             TB: int | None = None):
     """Wire-format dense step with the fused kernel inside: one jit doing
     2-bit unpack + exception scatter -> Pallas decode -> count scatter.
     Drop-in replacement for ops.decode.dense_count_step_packed (measured
@@ -589,6 +618,8 @@ def build_pallas_packed_step(plan: DecodePlan, width: int, TB: int = 256):
     (tens of seconds through a remote-compile service), so every consumer
     in a process must share one compiled instance.
     """
+    if TB is None:
+        TB = _auto_tb(plan, width)
     key = (id(plan), width, TB)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
@@ -896,13 +927,16 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
 
 
 def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
-                              TB: int = 256, interpret: bool = False):
+                              TB: int | None = None,
+                              interpret: bool = False):
     """Random-mode device hash-set step with the fused kernel as the
     decode front end: unpack -> Pallas keyed decode -> wire ->
     (valid, flat, ridx) -> ops.decode.hashset_update, all in one jit.
     Drop-in for ops.decode.random_hashset_step_packed[_q] (the XLA front
     end measured 374 ns/read vs the kernel's 56; the dedup tail is
     shared, so table/counts/counters/overflow stay bit-identical)."""
+    if TB is None:
+        TB = _auto_tb(plan, width)
     key = ("hashset", id(plan), width, cap, TB)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
@@ -962,10 +996,12 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
 
 
 def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
-                                   TB: int = 256):
+                                   TB: int | None = None):
     """Wire-format keyed step with the fused kernel inside (cached like
     build_pallas_packed_step).  Returns {"wire", "counters"} matching
     ops.decode.keyed_decode_step_packed's contract."""
+    if TB is None:
+        TB = _auto_tb(plan, width)
     key = ("keyed", id(plan), width, TB)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]

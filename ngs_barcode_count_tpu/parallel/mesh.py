@@ -384,7 +384,9 @@ class ShardedDenseEngine:
             from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
             try:
-                decode_kernel = pdec.build_pallas_decode(plan, width)
+                decode_kernel = pdec.build_pallas_decode(
+                    plan, width, TB=pdec._auto_tb(plan, width)
+                )
             except Exception:
                 decode_kernel = None
 

@@ -108,7 +108,12 @@ class ShardedHashsetEngine:
         # NGS_PALLAS_INTERPRET=1: interpret-mode kernel on the CPU mesh
         # (tests; Mosaic does not lower on CPU)
         interp = os.environ.get("NGS_PALLAS_INTERPRET") == "1"
-        tb = 8 if interp else 256
+        if interp:
+            tb = 8
+        else:
+            from ngs_barcode_count_tpu.ops import pallas_decode as _pd
+
+            tb = _pd._auto_tb(plan, width)
         if (
             R % tb == 0
             and (interp or jax.devices()[0].platform != "cpu")
