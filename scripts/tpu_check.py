@@ -236,6 +236,58 @@ def _check_keyed(workdir, results):
     }
 
 
+def _check_keyed_rawdna(workdir, results):
+    """Raw-DNA keyed mode (no conversion files): the counted_words wire
+    layout variant, compiled (CPU interpret tests cover it; this pins
+    the Mosaic-compiled form)."""
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.conversions import BarcodeConversions
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, _, samples, sets = _inputs(random_barcode=False)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+    )
+    conv = BarcodeConversions()  # no files: raw-DNA sample + counted
+    plan = dec.make_plan(scheme, conv, me)
+    fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "dense2")
+
+    pstep = None
+    eq = True
+    total = 0
+    h = 0
+    for pb in read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=BATCH,
+    ):
+        pb = _rowmajor(pb)
+        n = np.array([pb.n_reads], np.int32)
+        if pstep is None:
+            pstep = pdec.build_pallas_keyed_packed_step(plan, pb.width)
+        ox = dec.keyed_decode_step_packed(
+            plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n
+        )
+        op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
+        eq = eq and bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
+            jnp.array_equal(ox["counters"], op["counters"])
+        )
+        w32 = ox["wire"].astype(jnp.uint32)
+        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
+        total += pb.n_reads
+        print(f"[tpu_check] raw-dna keyed: {total} reads", flush=True)
+    results["keyed_rawdna"] = {
+        "equal": eq,
+        "n_reads": total,
+        "wire_checksum": h,
+    }
+
+
 def main():
     import jax
 
@@ -253,6 +305,7 @@ def main():
     _check_dense(workdir, 0.0, results)
     _check_dense(workdir, 30.0, results)
     _check_keyed(workdir, results)
+    _check_keyed_rawdna(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)
     )
