@@ -152,13 +152,36 @@ class DecodePlan:
         return self.counted_onehots is not None
 
     @property
+    def combo_fits_i32(self) -> bool:
+        """Mixed-radix combo ids fit an int32 wire column.  Mega-DEL
+        spaces (e.g. 3 x 2000-candidate positions) overflow; the keyed
+        wire then carries per-position indices instead."""
+        return self.dense_counted and self.n_combos < 2**31
+
+    @property
+    def flat_fits_device(self) -> bool:
+        """(sample, combo) flat ids fit int32 AND the dense count tensor
+        is allocatable (NGS_DENSE_LIMIT_BYTES, default 4GB — the
+        reference's sparse hashmap has no such bound, so oversized
+        spaces demote to the host keyed store)."""
+        if not (self.dense_sample and self.dense_counted):
+            return False
+        import os
+
+        n_flat = self.n_samples * self.n_combos
+        limit = int(os.environ.get("NGS_DENSE_LIMIT_BYTES", 4 << 30))
+        return n_flat < 2**31 and 4 * n_flat <= limit
+
+    @property
     def dense_counts(self) -> bool:
-        """Counts accumulate fully on device: dense ids and no random
-        barcode (random needs host-side PCR-duplicate dedup)."""
+        """Counts accumulate fully on device: dense ids, no random
+        barcode (random needs host-side PCR-duplicate dedup), and a
+        combo space small enough for a device tensor."""
         return (
             self.dense_sample
             and self.dense_counted
             and not self.scheme.random_barcode
+            and self.flat_fits_device
         )
 
     @property
@@ -511,6 +534,7 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
     counted_ok = sample_ok
     if plan.counted_onehots is not None:
         combo_flat = jnp.zeros(bases.shape[0], dtype=jnp.int32)
+        counted_idx = []
         for i, slot in enumerate(scheme.barcode_slots):
             codes = slot_codes_of(slot)
             idx, ok = match_barcodes(
@@ -520,8 +544,15 @@ def decode_batch(plan: DecodePlan, bases, quals, lengths, read_mask):
                 plan.max_errors.barcode[i],
             )
             counted_ok = counted_ok & ok
-            combo_flat = combo_flat * plan.combo_radix[i] + idx
-        out["combo_flat"] = combo_flat
+            counted_idx.append(idx)
+            if plan.combo_fits_i32:
+                combo_flat = combo_flat * plan.combo_radix[i] + idx
+        if plan.combo_fits_i32:
+            out["combo_flat"] = combo_flat
+        else:
+            # mega-DEL: the mixed-radix id would overflow int32; emit
+            # per-position candidate indices for host keying
+            out["counted_idx"] = counted_idx
     else:
         # Raw-DNA counted mode: emit per-slot codes for host keying.
         out["counted_codes"] = [
@@ -940,6 +971,9 @@ def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
         # no sample region: the index is always 0, omit the column
         if "combo_flat" in out:
             cols.append(out["combo_flat"][:, None])
+        elif "counted_idx" in out:
+            for idx in out["counted_idx"]:
+                cols.append(idx[:, None])
         else:
             for c in out["counted_codes"]:
                 cols.append(pack_slot_words(c))
@@ -990,9 +1024,16 @@ def keyed_wire_layout(plan: DecodePlan) -> dict:
         layout["sample_idx"] = (pos, 1)
         pos += 1
     # else: no sample region -> index constant 0, no column
-    if plan.dense_counted:
+    if plan.dense_counted and plan.combo_fits_i32:
         layout["combo_flat"] = (pos, 1)
         pos += 1
+    elif plan.dense_counted:
+        # mega-DEL: one matched-candidate-index column per position
+        spans = []
+        for _ in scheme.barcode_slots:
+            spans.append((pos, 1))
+            pos += 1
+        layout["counted_idx"] = spans
     else:
         spans = []
         for s in scheme.barcode_slots:

@@ -735,7 +735,11 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                  plan.counted_n_masks[i], int(plan.max_errors.barcode[i]))
             )
     W_all, metas, slot_mats = _build_matchers(slot_defs, F)
-    radix = plan.combo_radix if plan.dense_counted else ()
+    radix = (
+        plan.combo_radix
+        if plan.dense_counted and plan.combo_fits_i32
+        else ()
+    )
 
     # Word packing runs as ONE pair of f32 matmuls over the whole
     # realigned region (exact: each half-word is <= 5*8^4 < 2^24)
@@ -814,6 +818,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
 
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         combo = jnp.zeros((TB, 1), jnp.int32)
+        counted_idx = []
         bc_pos = 0
         results = _run_matchers(
             R, W_all, metas, slot_mats, slot_w_refs, F, TB
@@ -825,8 +830,10 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
             if name == "sample":
                 sample_idx = idx
             else:
-                combo = combo * radix[bc_pos] + idx
-                bc_pos += 1
+                counted_idx.append(idx)
+                if radix:
+                    combo = combo * radix[bc_pos] + idx
+                    bc_pos += 1
 
         valid = (status == ST_VALID) & ok_so_far
         status = jnp.where(
@@ -858,6 +865,8 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                 cols.append(sample_idx)
             if "combo_flat" in layout:
                 cols.append(combo)
+            elif "counted_idx" in layout:
+                cols.extend(counted_idx)
             elif "counted_words" in layout:
                 for slot in scheme.barcode_slots:
                     cols.append(next_words(slot))

@@ -168,6 +168,9 @@ class CountAccumulator:
             plan.scheme.random_barcode
             and plan.dense_sample
             and plan.dense_counted
+            # bytemap/hashset modes key on int32 flat ids and keep a
+            # dense count tensor; mega-DEL spaces demote to host keyed
+            and plan.flat_fits_device
         )
         if (
             n_devices > 1
@@ -756,6 +759,9 @@ class CountAccumulator:
             cols.append(np.zeros(len(valid), np.uint64))
         if "combo_flat" in layout:
             cols.append(span("combo_flat")[:, 0].astype(np.uint64))
+        elif "counted_idx" in layout:
+            for s, _ in layout["counted_idx"]:
+                cols.append(wire[:, s].astype(np.uint64))
         else:
             for s, w in layout["counted_words"]:
                 cols.append(self._combine_words(wire[:, s : s + w]))
@@ -854,6 +860,9 @@ class CountAccumulator:
             cols.append(np.asarray(out["sample_idx"]).astype(np.uint64))
         if "combo_flat" in out:
             cols.append(np.asarray(out["combo_flat"]).astype(np.uint64))
+        elif "counted_idx" in out:
+            for idx in out["counted_idx"]:
+                cols.append(np.asarray(idx).astype(np.uint64))
         else:
             for j, codes in enumerate(out["counted_codes"]):
                 codes = np.asarray(codes)
@@ -983,12 +992,15 @@ class CountAccumulator:
                     "sample", sample_part, scheme.sample_slot.length
                 )
             if plan.dense_counted:
-                idxs = []
-                flat = int(rest[0])
-                for n in reversed(plan.combo_radix):
-                    idxs.append(flat % n)
-                    flat //= n
-                idxs = list(reversed(idxs))
+                if plan.combo_fits_i32:
+                    idxs = []
+                    flat = int(rest[0])
+                    for n in reversed(plan.combo_radix):
+                        idxs.append(flat % n)
+                        flat //= n
+                    idxs = list(reversed(idxs))
+                else:  # mega-DEL wire: per-position indices already
+                    idxs = [int(r_) for r_ in rest]
                 code = ",".join(
                     self.conv.counted_sets[j].sequences[idxs[j]]
                     for j in range(len(idxs))

@@ -288,6 +288,80 @@ def _check_keyed_rawdna(workdir, results):
     }
 
 
+def _check_keyed_megacombo(workdir, results):
+    """Mega-DEL keyed wire (counted_idx columns: combo ids overflow
+    int32 so the wire carries per-position candidate indices), compiled.
+    Reuses the dense FASTQ against 1300-candidate-per-position tables."""
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.conversions import (
+        BarcodeConversions,
+        BarcodeSet,
+    )
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, conv0, samples, sets = _inputs(random_barcode=False)
+    rng = np.random.default_rng(23)
+    big = []
+    for pos in range(3):
+        seen = set(sets[pos])  # include the true barcodes
+        while len(seen) < 1300:
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, 6)))
+        big.append(sorted(seen))
+    conv = BarcodeConversions()
+    conv.samples_barcode_hash = conv0.samples_barcode_hash
+    conv.sample_set = conv0.sample_set
+    conv.counted_barcodes_hash = [
+        {b: f"B{i}_{j}" for j, b in enumerate(s)} for i, s in enumerate(big)
+    ]
+    conv.counted_sets = [
+        BarcodeSet.from_pairs([(b, f"B{i}_{j}") for j, b in enumerate(s)], 6)
+        for i, s in enumerate(big)
+    ]
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    assert not plan.combo_fits_i32
+    fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "dense2")
+
+    pstep = None
+    eq = True
+    total = 0
+    h = 0
+    for pb in read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=BATCH,
+    ):
+        pb = _rowmajor(pb)
+        n = np.array([pb.n_reads], np.int32)
+        if pstep is None:
+            pstep = pdec.build_pallas_keyed_packed_step(plan, pb.width)
+        ox = dec.keyed_decode_step_packed(
+            plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n
+        )
+        op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
+        eq = eq and bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
+            jnp.array_equal(ox["counters"], op["counters"])
+        )
+        w32 = ox["wire"].astype(jnp.uint32)
+        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
+        total += pb.n_reads
+        print(f"[tpu_check] mega-combo keyed: {total} reads", flush=True)
+        if total >= N_READS // 2:
+            break  # half the reads: the layout, not endurance, is the point
+    results["keyed_megacombo"] = {
+        "equal": eq,
+        "n_reads": total,
+        "wire_checksum": h,
+    }
+
+
 def main():
     import jax
 
@@ -306,6 +380,7 @@ def main():
     _check_dense(workdir, 30.0, results)
     _check_keyed(workdir, results)
     _check_keyed_rawdna(workdir, results)
+    _check_keyed_megacombo(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)
     )

@@ -517,3 +517,134 @@ def test_sharded_hashset_dedup_equals_single(tmp_path, rng, monkeypatch,
         np.asarray(acc1.dense_state), np.asarray(acc4.dense_state)
     )
     assert acc1.results_view().per_sample == acc4.results_view().per_sample
+
+
+def test_mega_combo_space_demotes_to_keyed(tmp_path, rng):
+    """Combo spaces whose mixed-radix id overflows int32 (mega-DEL:
+    3 x 2000-candidate positions = 8e9 combos) must decode through the
+    keyed path with per-position index wire columns and still match the
+    oracle exactly — the reference's sparse hashmap has no size limit,
+    so neither may we."""
+    from ngs_barcode_count_tpu.ops import decode as dec
+
+    paths = write_inputs(tmp_path, with_files=False)
+    # 2000 distinct 6-mers per position (4096 possible)
+    big = []
+    for pos in range(3):
+        seen = set()
+        while len(seen) < 2000:
+            seen.add("".join(
+                "ACGT"[i] for i in rng.integers(0, 4, 6)
+            ))
+        big.append(sorted(seen))
+    cf = tmp_path / "barcodes_big.csv"
+    rows = []
+    for pos, bcs in enumerate(big, start=1):
+        for j, b in enumerate(bcs):
+            rows.append(f"{b},BC{pos}_{j},{pos}\n")
+    cf.write_text("Barcode,Barcode_ID,Barcode_Number\n" + "".join(rows))
+    sf = tmp_path / "samples.csv"
+    sf.write_text(
+        "Barcode,Sample_ID\n"
+        + "".join(f"{b},{i}\n" for b, i in SAMPLES.items())
+    )
+    paths["samples"] = str(sf)
+    paths["barcodes"] = str(cf)
+
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    reads, quals = [], []
+    for _ in range(300):
+        sample = list(SAMPLES)[rng.integers(0, 2)]
+        counted = [s[rng.integers(0, 2000)] for s in big]
+        r = simulate.make_read(
+            rng, scheme, sample, counted,
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 5)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "mega.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    scheme2, conv, me, plan, _ = setup(cfg)
+    assert plan.dense_counted and not plan.combo_fits_i32
+    assert not plan.dense_counts  # demoted off the dense tensor
+    layout = dec.keyed_wire_layout(plan)
+    assert "counted_idx" in layout and "combo_flat" not in layout
+
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
+
+
+def test_mega_combo_pallas_keyed_wire_parity(tmp_path, rng):
+    """The Pallas keyed kernel's counted_idx wire columns must equal the
+    XLA path's on a mega-combo plan (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.conversions import (
+        BarcodeConversions, BarcodeSet,
+    )
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from tests.test_decode_vs_oracle import encode_batch
+
+    paths = write_inputs(tmp_path, with_files=False)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    big = []
+    for pos in range(3):
+        seen = set()
+        while len(seen) < 1300:  # 1300^3 > 2^31
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, 6)))
+        big.append(sorted(seen))
+    conv = BarcodeConversions()
+    conv.samples_barcode_hash = {b: i for b, i in SAMPLES.items()}
+    conv.sample_set = BarcodeSet.from_pairs(
+        [(b, i) for b, i in SAMPLES.items()], 10
+    )
+    conv.counted_barcodes_hash = [
+        {b: f"B{i}_{j}" for j, b in enumerate(s)}
+        for i, s in enumerate(big)
+    ]
+    conv.counted_sets = [
+        BarcodeSet.from_pairs(
+            [(b, f"B{i}_{j}") for j, b in enumerate(s)], 6
+        )
+        for i, s in enumerate(big)
+    ]
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    assert not plan.combo_fits_i32
+
+    reads, quals = [], []
+    for _ in range(64):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 1300)] for s in big],
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 4)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    n = np.array([B], np.int32)
+    kfn = pdec.build_pallas_decode_keyed(plan, L, TB=8, interpret=True)
+    wire_p, status_p = kfn(bases, lengths, n)
+    out_x = dec.keyed_decode_step(plan, bases, quality, lengths, mask)
+    from ngs_barcode_count_tpu.ops.decode import _keyed_packed_outputs
+
+    compact = jax.jit(lambda: _keyed_packed_outputs(plan, out_x))()
+    valid = np.asarray(out_x["valid"])
+    np.testing.assert_array_equal(
+        np.asarray(wire_p)[valid], np.asarray(compact["wire"])[valid]
+    )
+    assert valid.sum() > 0
