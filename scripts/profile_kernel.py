@@ -98,7 +98,8 @@ def main():
 
     def front_no_select(plan_, basesf, lengths, is_read, scan_w_ref, TB,
                         L, F_, O, O_pad, n_const, n_wild, max_const):
-        # matmul + exact-offset only: measures the repair min/tie logic
+        # matmul + exact-offset only (no repair keys): isolates the
+        # packed-key repair selection's cost against the current realign
         x1h = jnp.concatenate(
             [(basesf == c).astype(jnp.bfloat16) for c in range(5)], axis=1
         )
@@ -109,17 +110,13 @@ def main():
         wild_o = scan[:, O_pad:2 * O_pad]
         o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
         exact = (strict_o == n_const) & (wild_o == n_wild)
-        has_exact = jnp.any(exact, axis=1, keepdims=True)
         exact_off = jnp.min(
             jnp.where(exact, o_idx, pdec._BIG), axis=1, keepdims=True
         ).astype(jnp.int32)
-        sel = (o_idx == exact_off).astype(jnp.float32)
-        R = jnp.zeros((TB, F_), jnp.float32)
-        for o in range(O):
-            R = R + sel[:, o:o + 1] * basesf[:, o:o + F_]
-        return has_exact & is_read, exact_off, has_exact, exact_off, (
-            o_idx
-        ), R
+        has_exact = exact_off != pdec._BIG
+        off = jnp.where(has_exact, exact_off, 0)
+        R = pdec._realign(basesf, off, L, O, TB, F_)
+        return has_exact & is_read, off, has_exact, exact_off, o_idx, R
 
     def matchers_stub(R, W_all, metas, slot_mats, slot_w_refs, F_, TB):
         idx = jnp.zeros((TB, 1), jnp.int32)
