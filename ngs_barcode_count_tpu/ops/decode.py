@@ -50,7 +50,6 @@ from ngs_barcode_count_tpu.scheme import (
     KIND_CONST,
     KIND_WILD,
     SequenceScheme,
-    Slot,
 )
 
 _BIG = np.int32(1 << 20)
@@ -350,18 +349,9 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
 
 
 # ---------------------------------------------------------------------------
-# Slot extraction and Hamming-argmin matching
+# Hamming-argmin matching (slot extraction is a static slice of the
+# shifter-realigned region; see decode_batch)
 # ---------------------------------------------------------------------------
-
-
-def extract_slot(
-    bases: jnp.ndarray, offset: jnp.ndarray, slot: Slot
-) -> jnp.ndarray:
-    """Gather ``[B, slot.length]`` codes at (per-read offset + slot.offset)."""
-    idx = offset[:, None] + jnp.arange(
-        slot.offset, slot.offset + slot.length, dtype=jnp.int32
-    )[None, :]
-    return jnp.take_along_axis(bases, idx, axis=1)
 
 
 def match_barcodes(
