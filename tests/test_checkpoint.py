@@ -191,3 +191,79 @@ def test_hashset_checkpoint_resume_equals_full_run(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(
         acc_b.seq_errors.counters, acc_full.seq_errors.counters
     )
+
+
+def test_megacombo_checkpoint_resume_equals_full_run(tmp_path, rng):
+    """Mega-DEL demoted-keyed runs (counted_idx wire, no random slot)
+    checkpoint and resume: index-tuple keys round-trip exactly."""
+    from ngs_barcode_count_tpu.io import native as native_mod
+    from tests.test_end_to_end import SAMPLES, simulate
+
+    paths = write_inputs(tmp_path)
+    big = []
+    for pos in range(3):
+        seen = set()
+        while len(seen) < 1300:
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, 6)))
+        big.append(sorted(seen))
+    cf = tmp_path / "barcodes_big.csv"
+    rows = []
+    for pos, bcs in enumerate(big, start=1):
+        for j, b in enumerate(bcs):
+            rows.append(f"{b},BC{pos}_{j},{pos}\n")
+    cf.write_text("Barcode,Barcode_ID,Barcode_Number\n" + "".join(rows))
+    paths["barcodes"] = str(cf)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    reads, quals = [], []
+    for _ in range(800):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 1300)] for s in big],
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 4)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "mega.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    cfg = _mk_config(tmp_path, str(fq), paths)
+    cfg.batch_size = 128
+    scheme, conv, me, plan, _ = setup(cfg)
+    assert plan.dense_counted and not plan.combo_fits_i32
+    assert not plan.dense_counts
+
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    acc_a = CountAccumulator(plan, conv)
+    assert acc_a.keyed is not None
+    fp = ckpt.config_fingerprint(cfg)
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(
+        native_mod.read_fastq_native_packed(
+            cfg.fastq, min_width=scheme.length, batch_reads=cfg.batch_size
+        )
+    ):
+        acc_a.step_packed_keyed(pb)
+        total_a += pb.n_reads
+        if i == 2:
+            offset = pb.next_offset
+            break
+    acc_a.flush_pending()
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    cfg.resume = True
+    cfg.checkpoint_interval_s = 1e9
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full == 800
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
+    assert acc_b.keyed.counts == acc_full.keyed.counts
