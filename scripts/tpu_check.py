@@ -178,7 +178,7 @@ def _check_dense(workdir, min_quality, results):
         ]
 
 
-def _check_keyed(workdir, results):
+def _check_keyed(workdir, results, min_quality: float = 0.0):
     import jax.numpy as jnp
 
     from ngs_barcode_count_tpu import stats
@@ -191,7 +191,8 @@ def _check_keyed(workdir, results):
 
     scheme, conv, samples, sets = _inputs(random_barcode=True)
     me = MaxSeqErrors.create(
-        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length,
+        min_quality,
     )
     plan = dec.make_plan(scheme, conv, me)
     fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "random2")
@@ -204,15 +205,26 @@ def _check_keyed(workdir, results):
     h = 0
     for pb in read_fastq_packed_parallel(
         fq, min_width=scheme.length, batch_reads=BATCH,
+        with_quals=min_quality > 0,
     ):
         pb = _rowmajor(pb)
         n = np.array([pb.n_reads], np.int32)
         if pstep is None:
             pstep = pdec.build_pallas_keyed_packed_step(plan, pb.width)
-        ox = dec.keyed_decode_step_packed(
-            plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n
-        )
-        op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
+        if min_quality > 0:
+            ox = dec.keyed_decode_step_packed_q(
+                plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                pb.quals, pb.width, n,
+            )
+            op = pstep(
+                pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n, pb.quals
+            )
+        else:
+            ox = dec.keyed_decode_step_packed(
+                plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+                pb.width, n,
+            )
+            op = pstep(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n)
         beq = bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
             jnp.array_equal(ox["counters"], op["counters"])
         )
@@ -224,12 +236,26 @@ def _check_keyed(workdir, results):
                 [int(r), int(c), int(wx[r, c]), int(wp[r, c])]
                 for r, c in d[:5]
             ])
+        # ORDER-INSENSITIVE multiset checksum: the parallel range
+        # readers emit reads in nondeterministic order, so the pin is a
+        # mod-2^32 sum of per-row mixes over live rows only (padding
+        # rows decode junk buffer tails)
         w32 = ox["wire"].astype(jnp.uint32)
-        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
-        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
+        rows = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        live = rows < np.uint32(pb.n_reads)
+        rowkey = jnp.zeros(w32.shape[0], jnp.uint32)
+        for c in range(w32.shape[1]):
+            rowkey = rowkey * np.uint32(2654435761) + w32[:, c]
+        v = rowkey ^ (rowkey >> 15)
+        v = v * np.uint32(0x2C1B3C6D)
+        v = v ^ (v >> 12)
+        h = (h + int(jnp.sum(jnp.where(live[:, 0], v, 0)))) & 0xFFFFFFFF
         total += pb.n_reads
-        print(f"[tpu_check] keyed: {total} reads", flush=True)
-    results["keyed_random"] = {
+        print(f"[tpu_check] keyed q={min_quality}: {total} reads", flush=True)
+    tag = "keyed_random" if min_quality == 0 else (
+        f"keyed_random_q{int(min_quality)}"
+    )
+    results[tag] = {
         "equal": eq,
         "n_reads": total,
         "wire_checksum": h,
@@ -276,9 +302,20 @@ def _check_keyed_rawdna(workdir, results):
         eq = eq and bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
             jnp.array_equal(ox["counters"], op["counters"])
         )
+        # ORDER-INSENSITIVE multiset checksum: the parallel range
+        # readers emit reads in nondeterministic order, so the pin is a
+        # mod-2^32 sum of per-row mixes over live rows only (padding
+        # rows decode junk buffer tails)
         w32 = ox["wire"].astype(jnp.uint32)
-        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
-        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
+        rows = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        live = rows < np.uint32(pb.n_reads)
+        rowkey = jnp.zeros(w32.shape[0], jnp.uint32)
+        for c in range(w32.shape[1]):
+            rowkey = rowkey * np.uint32(2654435761) + w32[:, c]
+        v = rowkey ^ (rowkey >> 15)
+        v = v * np.uint32(0x2C1B3C6D)
+        v = v ^ (v >> 12)
+        h = (h + int(jnp.sum(jnp.where(live[:, 0], v, 0)))) & 0xFFFFFFFF
         total += pb.n_reads
         print(f"[tpu_check] raw-dna keyed: {total} reads", flush=True)
     results["keyed_rawdna"] = {
@@ -348,13 +385,22 @@ def _check_keyed_megacombo(workdir, results):
         eq = eq and bool(jnp.array_equal(ox["wire"], op["wire"])) and bool(
             jnp.array_equal(ox["counters"], op["counters"])
         )
+        # ORDER-INSENSITIVE multiset checksum: the parallel range
+        # readers emit reads in nondeterministic order, so the pin is a
+        # mod-2^32 sum of per-row mixes over live rows only (padding
+        # rows decode junk buffer tails)
         w32 = ox["wire"].astype(jnp.uint32)
-        iota = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
-        h ^= int(jnp.sum(w32 * (iota * np.uint32(2654435761)))) & 0xFFFFFFFF
+        rows = jnp.arange(w32.shape[0], dtype=jnp.uint32)[:, None]
+        live = rows < np.uint32(pb.n_reads)
+        rowkey = jnp.zeros(w32.shape[0], jnp.uint32)
+        for c in range(w32.shape[1]):
+            rowkey = rowkey * np.uint32(2654435761) + w32[:, c]
+        v = rowkey ^ (rowkey >> 15)
+        v = v * np.uint32(0x2C1B3C6D)
+        v = v ^ (v >> 12)
+        h = (h + int(jnp.sum(jnp.where(live[:, 0], v, 0)))) & 0xFFFFFFFF
         total += pb.n_reads
         print(f"[tpu_check] mega-combo keyed: {total} reads", flush=True)
-        if total >= N_READS // 2:
-            break  # half the reads: the layout, not endurance, is the point
     results["keyed_megacombo"] = {
         "equal": eq,
         "n_reads": total,
@@ -379,6 +425,7 @@ def main():
     _check_dense(workdir, 0.0, results)
     _check_dense(workdir, 30.0, results)
     _check_keyed(workdir, results)
+    _check_keyed(workdir, results, min_quality=30.0)
     _check_keyed_rawdna(workdir, results)
     _check_keyed_megacombo(workdir, results)
     ok = all(
