@@ -115,6 +115,31 @@ def main():
             default_reads = n
             break
     n_reads = int(os.environ.get("NGS_BENCH_READS", default_reads))
+
+    # Claim the TPU up front with bounded retry/backoff: the axon pool
+    # claim can transiently fail UNAVAILABLE (this lost the round-2
+    # driver capture — BENCH_r02.json rc=1).  If it stays down, fail
+    # over to a CPU measurement with the error recorded in detail, so
+    # the driver always gets the one JSON line.
+    from ngs_barcode_count_tpu.utils.claim import claim_devices, force_cpu
+
+    claim_error = None
+    try:
+        claim_devices(
+            max_attempts=int(os.environ.get("NGS_CLAIM_ATTEMPTS", 5)),
+            total_sleep_budget_s=float(
+                os.environ.get("NGS_CLAIM_BUDGET_S", 600)
+            ),
+        )
+    except Exception as e:
+        claim_error = f"{type(e).__name__}: {e}"
+        print(f"[bench] TPU claim failed, falling back to CPU: "
+              f"{claim_error}", file=sys.stderr)
+        force_cpu()
+        # CPU fallback: a 50M-read run would take tens of minutes
+        n_reads = min(
+            n_reads, int(os.environ.get("NGS_BENCH_CPU_READS", 2_000_000))
+        )
     # 128k reads/batch: per-batch wall time through the relay is
     # super-linear in transfer size, so small batches pipeline ~2.4x
     # better than the 1M-read batches used previously (measured A/B:
@@ -316,6 +341,8 @@ def main():
                 "unit": "reads/s",
                 "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
                 "detail": {
+                    "platform": jax.devices()[0].platform,
+                    "claim_error": claim_error,
                     "n_reads": total,
                     "elapsed_s": round(elapsed, 3),
                     "best_pass_reads_per_s": round(best_rps, 1),
@@ -343,4 +370,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — the driver must always get JSON
+        import traceback
+
+        traceback.print_exc()
+        print(
+            json.dumps(
+                {
+                    "metric": "reads_per_second",
+                    "value": 0.0,
+                    "unit": "reads/s",
+                    "vs_baseline": 0.0,
+                    "detail": {"error": f"{type(e).__name__}: {e}"},
+                }
+            )
+        )
+        sys.exit(0)

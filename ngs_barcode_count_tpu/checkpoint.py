@@ -44,16 +44,25 @@ def config_fingerprint(config) -> str:
     return h.hexdigest()
 
 
-def save(path: str, acc, byte_offset: int, total_reads: int,
-         fingerprint: str) -> None:
-    """Atomic snapshot (write tmp + rename)."""
+def save(path: str, acc, byte_offset, total_reads: int,
+         fingerprint: str, ranges=None) -> None:
+    """Atomic snapshot (write tmp + rename).
+
+    ``byte_offset`` is a single int (sequential-reader runs) or a
+    per-range frontier vector matching ``ranges`` (parallel-ingest
+    runs keep all T readers: each range resumes at its own offset)."""
     state = {
-        "byte_offset": np.int64(byte_offset),
         "total_reads": np.int64(total_reads),
         "fingerprint": np.frombuffer(
             fingerprint.encode(), dtype=np.uint8
         ),
     }
+    if ranges is not None:
+        state["ranges"] = np.asarray(ranges, dtype=np.int64)
+        state["range_offsets"] = np.asarray(byte_offset, dtype=np.int64)
+        state["byte_offset"] = np.int64(-1)
+    else:
+        state["byte_offset"] = np.int64(byte_offset)
     if acc.dense_state is not None:
         state["counts"] = np.asarray(acc.dense_state)
         state["counters"] = np.asarray(acc.dense_counters)
@@ -86,8 +95,10 @@ def save(path: str, acc, byte_offset: int, total_reads: int,
     os.replace(tmp, path)
 
 
-def load(path: str, acc, fingerprint: str) -> tuple[int, int]:
-    """Restore accumulator state; returns (byte_offset, total_reads).
+def load(path: str, acc, fingerprint: str):
+    """Restore accumulator state; returns (resume_point, total_reads)
+    where resume_point is an int byte offset (sequential runs) or a
+    (ranges, offsets) pair of int64 arrays (parallel-ingest runs).
     Raises if the fingerprint doesn't match the saved run."""
     with np.load(path, allow_pickle=False) as z:
         saved_fp = bytes(z["fingerprint"]).decode()
@@ -96,7 +107,10 @@ def load(path: str, acc, fingerprint: str) -> tuple[int, int]:
                 "checkpoint was created with different inputs "
                 "(scheme/conversion files or error budgets changed)"
             )
-        byte_offset = int(z["byte_offset"])
+        if "range_offsets" in z:
+            byte_offset = (z["ranges"].copy(), z["range_offsets"].copy())
+        else:
+            byte_offset = int(z["byte_offset"])
         total_reads = int(z["total_reads"])
         if "counts" in z:
             import jax.numpy as jnp

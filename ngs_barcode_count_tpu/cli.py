@@ -168,6 +168,36 @@ def main(argv: list[str] | None = None) -> int:
         profile_dir=args.profile_dir,
         fix_quirks=args.fix_quirks,
     )
+    # Claim the accelerator with bounded retry: a transient
+    # backend-init UNAVAILABLE (observed: 25-minute hang then failure
+    # on the axon pool) must not kill a run before it starts.
+    # NGS_CLAIM_ATTEMPTS=1 disables retries; NGS_CPU_FALLBACK=1 runs
+    # on CPU if the claim stays down.
+    import os as _os
+
+    from ngs_barcode_count_tpu.utils.claim import claim_devices, force_cpu
+
+    try:
+        claim_devices(
+            max_attempts=int(_os.environ.get("NGS_CLAIM_ATTEMPTS", 3)),
+            total_sleep_budget_s=float(
+                _os.environ.get("NGS_CLAIM_BUDGET_S", 300)
+            ),
+        )
+    except Exception as e:  # noqa: BLE001 — backend init error types vary
+        if _os.environ.get("NGS_CPU_FALLBACK") == "1":
+            print(
+                f"accelerator claim failed ({type(e).__name__}); "
+                "NGS_CPU_FALLBACK=1: running on CPU", file=_sys.stderr,
+            )
+            force_cpu()
+        else:
+            print(
+                f"Error: accelerator unavailable after retries: {e}\n"
+                "(set NGS_CPU_FALLBACK=1 to run on CPU instead)",
+                file=_sys.stderr,
+            )
+            return 1
     try:
         run(config)
     except (FileNotFoundError, ValueError) as e:

@@ -33,10 +33,11 @@ class PackedReads:
     is None when the quality gate is off."""
 
     __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
-                 "n_reads", "width", "next_offset", "transposed")
+                 "n_reads", "width", "next_offset", "transposed",
+                 "range_id")
 
     def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
-                 width, next_offset=-1, transposed=False):
+                 width, next_offset=-1, transposed=False, range_id=0):
         self.packed = packed
         self.lengths = lengths
         self.exc_idx = exc_idx
@@ -49,6 +50,10 @@ class PackedReads:
         self.next_offset = next_offset
         # column-major wire layout (see parallel_ingest._maybe_transpose)
         self.transposed = transposed
+        # which parallel-ingest byte range produced this batch: the
+        # checkpoint frontier is a per-range offset vector, so T readers
+        # stay checkpointable (round 2 forced a single reader)
+        self.range_id = range_id
 
 
 def _build() -> bool:

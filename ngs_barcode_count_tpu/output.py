@@ -212,6 +212,10 @@ class WriteFiles:
         for code in sorted(counts.keys()):
             count = counts[code]
             n += 1
+            # reference progress cadence: a counter line every 50,000
+            # written rows (output.rs:275-281)
+            if n % 50_000 == 0:
+                print(f"Barcodes counted: {_fmt(n)}\r", end="", flush=True)
             if enrichment == _FULL and self.counted_barcodes_hash:
                 written = convert_code(code, self.counted_barcodes_hash)
             else:

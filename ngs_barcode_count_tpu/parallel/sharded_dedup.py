@@ -75,6 +75,29 @@ class ShardedHashsetEngine:
     def merge(self, counts, counters):
         return jnp.sum(counts, axis=0), jnp.sum(counters, axis=0)
 
+    def zero_counters(self):
+        """A sharded zero counter vector (scratch for the lossless
+        replay of a saturated batch — runner._replay_saturated)."""
+        sh = NamedSharding(self.mesh, P("data", None))
+        return jax.device_put(
+            jnp.zeros((self.n_data, stats.NUM_COUNTERS), jnp.int32), sh
+        )
+
+    def bucket_cap(self, batch_rows: int) -> int:
+        """all_to_all bucket capacity per (sender, owner) pair; uniform
+        hashing concentrates ~R/n per bucket, 2x + slack absorbs skew."""
+        R = batch_rows // self.n_data
+        return int(os.environ.get(
+            "NGS_DEDUP_BUCKET_CAP", 2 * (R // max(self.n_data, 1)) + 256
+        ))
+
+    def lossless_cap(self, batch_rows: int) -> int:
+        """Overflow buffer size that can never truncate: a device's
+        overflow candidates are every row it received (n x bucket_cap)
+        plus every row it failed to send (its own R rows)."""
+        R = batch_rows // self.n_data
+        return self.n_data * self.bucket_cap(batch_rows) + R
+
     def split_exceptions(self, exc_idx, exc_val, rows: int, width: int):
         """Same host-side per-shard exception bucketing as the dense
         engine (parallel.mesh.ShardedDenseEngine)."""
@@ -85,19 +108,17 @@ class ShardedHashsetEngine:
         )
 
     def make_packed_step(self, width: int, with_quals: bool,
-                         batch_rows: int):
+                         batch_rows: int, cap_over: int | None = None):
         plan = self.plan
         mesh = self.mesh
         n = self.n_data
         S_local = self.s_local
         R = batch_rows // n  # local rows per device
-        # all_to_all bucket capacity per (sender, owner) pair; uniform
-        # hashing concentrates ~R/n per bucket, 2x + slack absorbs skew,
-        # anything past it goes to the exact host overflow path
-        capb = int(os.environ.get(
-            "NGS_DEDUP_BUCKET_CAP", 2 * (R // max(n, 1)) + 256
-        ))
-        cap_over = max(R // 8, 256)
+        # all_to_all bucket capacity per (sender, owner) pair; anything
+        # past it goes to the exact host overflow path
+        capb = self.bucket_cap(batch_rows)
+        if cap_over is None:
+            cap_over = max(R // 8, 256)
         c6 = 6 ** plan.scheme.random_slot.length
 
         # Fused-kernel decode front end per shard (same gating as the
@@ -125,7 +146,14 @@ class ShardedHashsetEngine:
                 decode_kernel = pdec.build_pallas_decode_keyed(
                     plan, width, TB=tb, interpret=interp
                 )
-            except Exception:
+            except Exception as e:
+                from ngs_barcode_count_tpu.runner import (
+                    _warn_kernel_fallback,
+                )
+
+                _warn_kernel_fallback(
+                    "sharded hashset decode", f"width={width}", e
+                )
                 decode_kernel = None
 
         def local_step(table, counts, counters, packed, lengths, exc_idx,

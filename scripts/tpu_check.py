@@ -408,6 +408,215 @@ def _check_keyed_megacombo(workdir, results):
     }
 
 
+def _check_sharded_n1(workdir, results):
+    """Mosaic-under-shard_map on the REAL chip (VERDICT r2 weak #4): a
+    1-chip ('data',) mesh runs the ShardedDenseEngine and
+    ShardedHashsetEngine packed steps — fused kernels INSIDE shard_map —
+    and must equal the single-device paths bit for bit.  CPU-mesh tests
+    cover the routing logic; only this catches shard_map x Mosaic
+    interactions on hardware."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.parallel import mesh as pmesh
+    from ngs_barcode_count_tpu.parallel.sharded_dedup import (
+        ShardedHashsetEngine,
+    )
+
+    sh_reads = int(os.environ.get("NGS_TPU_CHECK_SHARDED_READS", 1 << 20))
+    prev_kernel = os.environ.get("NGS_DECODE_KERNEL")
+    os.environ["NGS_DECODE_KERNEL"] = "pallas"  # kernels even on relay
+    try:
+        # ---- dense engine, n_data=1 ----
+        scheme, conv, samples, sets = _inputs(random_barcode=False)
+        me = MaxSeqErrors.create(
+            None, 10, None, [6, 6, 6], None,
+            scheme.constant_region_length, 0.0,
+        )
+        plan = dec.make_plan(scheme, conv, me)
+        fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "dense2")
+        mesh1 = pmesh.make_mesh(1, 1, jax.devices()[:1])
+        eng = pmesh.ShardedDenseEngine.build(plan, mesh1)
+        sc, sctr = eng.initial_state()
+        n_flat = plan.n_samples * plan.n_combos
+        cx = jnp.zeros(n_flat, jnp.int32)
+        ctrx = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        estep = None
+        total = 0
+        for pb in read_fastq_packed_parallel(
+            fq, min_width=scheme.length, batch_reads=BATCH,
+        ):
+            pb = _rowmajor(pb)
+            n = np.array([pb.n_reads], np.int32)
+            if estep is None:
+                estep = eng.make_packed_step(pb.width, False)
+            exc_i, exc_v = eng.split_exceptions(
+                np.asarray(pb.exc_idx), np.asarray(pb.exc_val),
+                pb.packed.shape[0], pb.width,
+            )
+            sc, sctr = estep(
+                sc, sctr, pb.packed, np.asarray(pb.lengths), exc_i, exc_v, n
+            )
+            cx, ctrx = dec.dense_count_step_packed(
+                plan, cx, ctrx, pb.packed, pb.lengths, pb.exc_idx,
+                pb.exc_val, pb.width, n,
+            )
+            total += pb.n_reads
+            print(f"[tpu_check] sharded_n1 dense: {total}", flush=True)
+            if total >= sh_reads:
+                break
+        mc, mctr = eng.merge(sc, sctr)
+        eq = bool(jnp.array_equal(mc, cx)) and bool(
+            jnp.array_equal(mctr, ctrx)
+        )
+        results["sharded_n1_dense"] = {"equal": eq, "n_reads": total}
+
+        # ---- hashset engine, n_data=1 ----
+        scheme, conv, samples, sets = _inputs(random_barcode=True)
+        me = MaxSeqErrors.create(
+            None, 10, None, [6, 6, 6], None,
+            scheme.constant_region_length, 0.0,
+        )
+        plan = dec.make_plan(scheme, conv, me)
+        fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "random2")
+        n_slots = 1 << 22
+        mesh_r = Mesh(np.array(jax.devices()[:1]), ("data",))
+        hse = ShardedHashsetEngine.build(plan, mesh_r, n_slots)
+        table_s, counts_s, ctr_s = hse.initial_state()
+        table_1 = jnp.zeros(n_slots, jnp.uint32)
+        counts_1 = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+        ctr_1 = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        hstep = None
+        total = 0
+        over_s_all, over_1_all = [], []
+        for pb in read_fastq_packed_parallel(
+            fq, min_width=scheme.length, batch_reads=BATCH,
+        ):
+            pb = _rowmajor(pb)
+            n = np.array([pb.n_reads], np.int32)
+            B = pb.packed.shape[0]
+            if hstep is None:
+                hstep = hse.make_packed_step(pb.width, False, B)
+            exc_i, exc_v = hse.split_exceptions(
+                np.asarray(pb.exc_idx), np.asarray(pb.exc_val), B, pb.width
+            )
+            table_s, counts_s, ctr_s, ov_s, no_s = hstep(
+                table_s, counts_s, ctr_s, pb.packed,
+                np.asarray(pb.lengths), exc_i, exc_v, n, None,
+            )
+            cap = max(B // 8, 1024)
+            table_1, counts_1, ctr_1, ov_1, no_1 = (
+                dec.random_hashset_step_packed(
+                    plan, table_1, counts_1, ctr_1, pb.packed, pb.lengths,
+                    pb.exc_idx, pb.exc_val, pb.width, cap, n,
+                )
+            )
+            k_s = int(np.asarray(no_s).reshape(-1)[0])
+            k_1 = int(np.asarray(no_1).reshape(-1)[0])
+            over_s_all.append(np.asarray(ov_s).reshape(-1, 2)[:k_s])
+            over_1_all.append(np.asarray(ov_1)[:k_1])
+            total += pb.n_reads
+            print(f"[tpu_check] sharded_n1 hashset: {total}", flush=True)
+            if total >= sh_reads:
+                break
+        mc_s, mctr_s = hse.merge(counts_s, ctr_s)
+        ov_s = np.concatenate(over_s_all) if over_s_all else np.zeros((0, 2))
+        ov_1 = np.concatenate(over_1_all) if over_1_all else np.zeros((0, 2))
+        ov_s = ov_s[np.lexsort(ov_s.T)] if len(ov_s) else ov_s
+        ov_1 = ov_1[np.lexsort(ov_1.T)] if len(ov_1) else ov_1
+        eq = (
+            bool(jnp.array_equal(mc_s, counts_1))
+            and bool(jnp.array_equal(mctr_s, ctr_1))
+            and ov_s.shape == ov_1.shape
+            and bool(np.array_equal(ov_s, ov_1))
+        )
+        results["sharded_n1_hashset"] = {
+            "equal": eq,
+            "n_reads": total,
+            "n_overflow": int(len(ov_1)),
+        }
+    finally:
+        if prev_kernel is None:
+            os.environ.pop("NGS_DECODE_KERNEL", None)
+        else:
+            os.environ["NGS_DECODE_KERNEL"] = prev_kernel
+
+
+def _bench_hashset_device(workdir, results):
+    """Machine-captured device-resident random-mode throughput (VERDICT
+    r2 next #3): one staged batch, K repeated fused hashset steps, reads
+    per second from a real array fetch (block_until_ready lies through
+    the relay)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, conv, samples, sets = _inputs(random_barcode=True)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None, scheme.constant_region_length, 0.0
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    fq = _gen_fastq(workdir, scheme, samples, sets, N_READS, "random2")
+    pb = _rowmajor(next(iter(read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=BATCH,
+    ))))
+    B = pb.packed.shape[0]
+    cap = max(B // 8, 1024)
+    d_packed = jax.device_put(pb.packed)
+    d_lengths = jax.device_put(np.asarray(pb.lengths))
+    d_exc_i = jax.device_put(pb.exc_idx)
+    d_exc_v = jax.device_put(pb.exc_val)
+    d_n = jax.device_put(np.array([pb.n_reads], np.int32))
+    try:
+        pstep = pdec.build_pallas_hashset_step(plan, pb.width, cap)
+    except Exception:
+        pstep = None
+
+    def run_k(step, K=20):
+        table = jnp.zeros(1 << 24, jnp.uint32)
+        counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+        ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        table, counts, ctr, ov, no = step(table, counts, ctr)
+        np.asarray(no)  # sync warmup
+        table = jnp.zeros(1 << 24, jnp.uint32)
+        counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+        ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        t0 = time.perf_counter()
+        for _ in range(K):
+            table, counts, ctr, ov, no = step(table, counts, ctr)
+        np.asarray(ctr)
+        return K * pb.n_reads / (time.perf_counter() - t0)
+
+    def xla_step(table, counts, ctr):
+        return dec.random_hashset_step_packed(
+            plan, table, counts, ctr, d_packed, d_lengths, d_exc_i,
+            d_exc_v, pb.width, cap, d_n,
+        )
+
+    entry = {"batch": B}
+    if pstep is not None:
+        entry["pallas_reads_per_s"] = round(run_k(
+            lambda t, c, r: pstep(t, c, r, d_packed, d_lengths, d_exc_i,
+                                  d_exc_v, d_n)
+        ), 1)
+    entry["xla_reads_per_s"] = round(run_k(xla_step), 1)
+    results["random_hashset_device"] = entry
+
+
 def main():
     import jax
 
@@ -428,6 +637,8 @@ def main():
     _check_keyed(workdir, results, min_quality=30.0)
     _check_keyed_rawdna(workdir, results)
     _check_keyed_megacombo(workdir, results)
+    _check_sharded_n1(workdir, results)
+    _bench_hashset_device(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)
     )

@@ -211,3 +211,148 @@ def test_fuzzed_scheme_e2e_pipeline(tmp_path, seed):
     assert c[S.LOW_QUALITY] == tallies["low_quality"], (seed, text)
     assert c[S.DUPLICATES] == tallies["duplicates"], (seed, text)
     assert acc.results_view().per_sample == exp, (seed, text)
+
+
+def _read_csv_counts(path):
+    """{joined_code: [count columns]} from a written counts CSV.  Code
+    columns are the header cells named Barcode/Barcode_i; the rest are
+    count columns (one for per-sample files, one per sample in merged
+    files)."""
+    out = {}
+    with open(path) as f:
+        header = f.readline().rstrip("\n").split(",")
+        n_code = sum(1 for h in header if h.startswith("Barcode"))
+        for line in f:
+            cells = line.rstrip("\n").split(",")
+            out[",".join(cells[:n_code])] = [
+                int(v) for v in cells[n_code:]
+            ]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_merge_enrich_gzip_outputs(tmp_path, seed):
+    """Fuzzed schemes through the FULL runner with --merge-output and
+    --enrich, half of them gzipped (VERDICT r2 next #9): the written
+    per-sample / merged / enriched CSVs must equal an independent
+    restatement of the reference's aggregation (output.rs:199-361
+    merged dedup, info.rs:840-904 enrichment marginals) applied to the
+    string oracle's counts."""
+    from ngs_barcode_count_tpu.io import native
+    from ngs_barcode_count_tpu.runner import RunConfig, run
+    from tests.test_end_to_end import oracle_counts
+
+    if not native.available():
+        pytest.skip("native codec not built")
+    rng = np.random.default_rng(3000 + seed)
+    gz = seed % 2 == 1
+    text = _random_scheme_text(rng)
+    scheme = parse_scheme_text(text)
+    conv, samples, sets = _tables(rng, scheme)
+
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text(text)
+    sample_file = None
+    if samples:
+        sf = tmp_path / "samples.csv"
+        sf.write_text(
+            "Barcode,ID\n"
+            + "".join(f"{b},S{i}\n" for i, b in enumerate(samples))
+        )
+        sample_file = str(sf)
+    cf = tmp_path / "bc.csv"
+    cf.write_text(
+        "Barcode,ID,Num\n" + "".join(
+            f"{b},B{i}_{j},{i + 1}\n"
+            for i, s in enumerate(sets) for j, b in enumerate(s)
+        )
+    )
+    reads, quals = _reads(rng, scheme, samples, sets, 250)
+    fq = tmp_path / ("r.fastq" + (".gz" if gz else ""))
+    simulate.write_fastq(str(fq), reads, quals, gzip_out=gz)
+
+    cfg = RunConfig(
+        fastq=str(fq), format=str(fmt),
+        sample_barcodes_option=sample_file,
+        counted_barcodes_option=str(cf),
+        output_dir=str(tmp_path), prefix="fz", batch_size=128,
+        progress=False, merge_output=True, enrich=True,
+    )
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert result.seq_errors.matched == tallies["matched"], (seed, text)
+    assert {k: dict(v) for k, v in result.results.per_sample.items()} \
+        == exp, (seed, text)
+
+    # independent restatement: convert oracle counts to IDs per sample
+    id_of = [
+        {b: f"B{i}_{j}" for j, b in enumerate(s)}
+        for i, s in enumerate(sets)
+    ]
+
+    def convert(code):
+        return ",".join(
+            id_of[j][b] for j, b in enumerate(code.split(","))
+        )
+
+    names = {b: f"S{i}" for i, b in enumerate(samples)}
+    conv_counts = {
+        names.get(sb, "barcode" if samples else sb): {
+            convert(c): n for c, n in d.items()
+        }
+        for sb, d in exp.items()
+    }
+
+    # per-sample full CSVs
+    for name, d in conv_counts.items():
+        got = _read_csv_counts(str(tmp_path / f"fz_{name}_counts.csv"))
+        assert {k: v[0] for k, v in got.items()} == d, (seed, text, name)
+
+    sorted_names = sorted(conv_counts)
+    if len(conv_counts) > 1:
+        got = _read_csv_counts(str(tmp_path / "fz_counts.all.csv"))
+        exp_merged = {
+            code: [conv_counts[nm].get(code, 0) for nm in sorted_names]
+            for d in conv_counts.values() for code in d
+        }
+        assert got == exp_merged, (seed, text)
+    else:
+        assert not (tmp_path / "fz_counts.all.csv").exists()
+
+    n_bc = scheme.barcode_num
+    if n_bc >= 2:  # enrich demoted below 2 barcodes (main.rs:22-25)
+        for name, d in conv_counts.items():
+            single = {}
+            for code, cnt in d.items():
+                parts = code.split(",")
+                for j in range(n_bc):
+                    cols = [""] * n_bc
+                    cols[j] = parts[j]
+                    k = ",".join(cols)
+                    single[k] = single.get(k, 0) + cnt
+            got = _read_csv_counts(
+                str(tmp_path / f"fz_{name}_counts.Single.csv")
+            )
+            assert {k: v[0] for k, v in got.items()} == single, (
+                seed, text, name
+            )
+        if n_bc > 2:
+            for name, d in conv_counts.items():
+                double = {}
+                for code, cnt in d.items():
+                    parts = code.split(",")
+                    for j in range(n_bc - 1):
+                        for k2 in range(j + 1, n_bc):
+                            cols = [""] * n_bc
+                            cols[j] = parts[j]
+                            cols[k2] = parts[k2]
+                            kk = ",".join(cols)
+                            double[kk] = double.get(kk, 0) + cnt
+                got = _read_csv_counts(
+                    str(tmp_path / f"fz_{name}_counts.Double.csv")
+                )
+                assert {k: v[0] for k, v in got.items()} == double, (
+                    seed, text, name
+                )
+    else:
+        assert not list(tmp_path.glob("*.Single.csv"))

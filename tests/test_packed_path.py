@@ -216,3 +216,46 @@ def test_col_major_wire_equals_row(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(acc_row.dense_state), np.asarray(acc_col.dense_state)
     )
+
+
+@pytest.mark.parametrize("min_q", [0.0, 30.0])
+def test_sorted_col_wire_equals_unsorted(tmp_path, rng, monkeypatch, min_q):
+    """The producer-side batch sort (reads clustered by leading packed
+    bytes before the col-major transpose, -30% relay bytes) must be
+    invisible to every consumer: lengths, Phred lanes, and the sparse N
+    exceptions all permute consistently.  Random-barcode keyed mode +
+    quality gate + N-salted reads is the worst case."""
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT
+
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, conv, me, plan, _ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 700, rng, quality_range=(20, 41)
+    )
+    noisy = _noisy(reads, rng)
+    fq2 = str(tmp_path / "noisy.fastq")
+    simulate.write_fastq(fq2, noisy, quals)
+    cfg = _mk_config(tmp_path, fq2, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = min_q
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEVICE_DEDUP", "0")
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    monkeypatch.setenv("NGS_WIRE_LAYOUT", "col")
+    monkeypatch.setenv("NGS_WIRE_SORT", "0")
+    acc_u = CountAccumulator(plan, conv, allow_bitmap=False)
+    n1 = decode_file(cfg, plan, scheme, acc_u)
+    acc_u.finalize()
+
+    monkeypatch.setenv("NGS_WIRE_SORT", "1")
+    acc_s = CountAccumulator(plan, conv, allow_bitmap=False)
+    n2 = decode_file(cfg, plan, scheme, acc_s)
+    acc_s.finalize()
+
+    assert n1 == n2 == len(noisy)
+    np.testing.assert_array_equal(
+        acc_u.seq_errors.counters, acc_s.seq_errors.counters
+    )
+    assert acc_u.results_view().per_sample == acc_s.results_view().per_sample

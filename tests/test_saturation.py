@@ -1,0 +1,149 @@
+"""Dedup-table saturation (VERDICT r2 weak #5) and the Pallas-fallback
+warning (weak #3).
+
+Saturation: with a tiny fingerprint table, one batch overflows more rows
+than its compacted buffer holds.  Round 2 aborted the run there; now the
+batch replays through a lossless-capacity step (state-idempotent — see
+runner._replay_saturated) and the run continues with lossless buffers.
+Counts must stay EXACTLY equal to the host keyed+dedup path (reference
+semantics info.rs:770-801)."""
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu.runner import (
+    CountAccumulator,
+    decode_file,
+    setup,
+)
+from ngs_barcode_count_tpu.utils import simulate
+from tests.test_end_to_end import (
+    BC1,
+    BC2,
+    BC3,
+    SAMPLES,
+    SCHEME_RANDOM_TEXT,
+    _mk_config,
+    write_inputs,
+)
+
+
+def _gen_many_distinct(tmp_path, rng, n_reads, n_randoms):
+    """Reads whose random barcodes draw from a pool big enough to
+    saturate a tiny table fast, with enough reuse for real duplicates."""
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    pool = set()
+    while len(pool) < n_randoms:
+        pool.add("".join("ACGT"[i] for i in rng.integers(0, 4, 8)))
+    pool = sorted(pool)
+    reads, quals = [], []
+    for _ in range(n_reads):
+        r = simulate.make_read(
+            rng, scheme,
+            list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 3)] for s in (BC1, BC2, BC3)],
+            random_barcode=pool[rng.integers(0, len(pool))],
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    fq = tmp_path / "sat.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+    return paths, str(fq)
+
+
+def _host_keyed_reference(cfg, plan, scheme, conv):
+    acc = CountAccumulator(plan, conv, allow_bitmap=False)
+    assert acc.keyed is not None and acc.dedup is not None
+    n = decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    return acc, n
+
+
+def test_saturation_recovers_single_device(tmp_path, rng, monkeypatch):
+    """One 2048-read batch against a 64-slot table: ~1900 overflow rows
+    vs a 1024-row buffer.  Round 2 raised RuntimeError here."""
+    paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 2048
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc = CountAccumulator(plan, conv)
+    assert acc.hashset is not None
+    n = decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    assert n == 3000
+    assert acc._cap_boost, "saturation should have fired the boost"
+
+    acc_host, n_host = _host_keyed_reference(cfg, plan, scheme, conv)
+    assert n_host == 3000
+    np.testing.assert_array_equal(
+        acc.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc.results_view().per_sample == acc_host.results_view().per_sample
+
+
+def test_saturation_recovers_sharded(tmp_path, rng, monkeypatch):
+    """Same recovery through the sharded engine: per-device buffers
+    (cap R//8=64) overflow on a 4-device mesh with a 64-slot table."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 2048
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc = CountAccumulator(plan, conv, n_devices=4)
+    assert acc.hashset_engine is not None
+    n = decode_file(cfg, plan, scheme, acc, n_devices=4)
+    acc.finalize()
+    assert n == 3000
+    assert acc._cap_boost
+
+    acc_host, n_host = _host_keyed_reference(cfg, plan, scheme, conv)
+    assert n_host == 3000
+    np.testing.assert_array_equal(
+        acc.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc.results_view().per_sample == acc_host.results_view().per_sample
+
+
+def test_pallas_build_failure_warns(monkeypatch, tmp_path):
+    """A kernel-build exception must not be swallowed silently (it costs
+    1.3-4x device throughput): runner._pallas_*_for warns and falls back
+    to the XLA path."""
+    import jax
+
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    paths = write_inputs(tmp_path)
+    cfg = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv)
+
+    class FakeDev:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeDev()])
+    monkeypatch.setenv("NGS_DECODE_KERNEL", "pallas")
+
+    def boom(*a, **k):
+        raise ValueError("synthetic Mosaic regression")
+
+    monkeypatch.setattr(pdec, "build_pallas_packed_step", boom)
+    monkeypatch.setattr(pdec, "build_pallas_keyed_packed_step", boom)
+    monkeypatch.setattr(pdec, "build_pallas_hashset_step", boom)
+
+    with pytest.warns(RuntimeWarning, match="dense packed.*Mosaic"):
+        assert acc._pallas_step_for(96) is None
+    with pytest.warns(RuntimeWarning, match="keyed packed.*Mosaic"):
+        assert acc._pallas_keyed_step_for(96) is None
+    with pytest.warns(RuntimeWarning, match="hashset.*Mosaic"):
+        assert acc._pallas_hashset_step_for(96, 1024) is None
