@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Round-3 TPU perf session: every experiment in ONE process (the pool
+claim costs minutes and must be paid once).
+
+Phases (each prints progress lines; JSON summary to R3_SESSION.json):
+  A. link-ceiling probe: sorted vs unsorted col-major wire through the
+     jit-argument transfer path (same relay phase A/B)
+  B. e2e dense sustained: NGS_WIRE_SORT x NGS_INGEST_THREADS grid on
+     10M reads, 2 passes each
+  C. kernel TB sweep: device-resident fused-step throughput at
+     TB=256/512/1024
+  D. random-mode e2e (BASELINE config 4 shape)
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/r3_perf_session.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+
+WORKDIR = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
+N_READS = int(os.environ.get("NGS_SESSION_READS", 10_000_000))
+BATCH = int(os.environ.get("NGS_BENCH_BATCH", 1 << 17))
+
+RESULTS: dict = {"date": time.strftime("%Y-%m-%d %H:%M:%S")}
+
+
+def log(msg):
+    print(f"[r3] {time.strftime('%H:%M:%S')} {msg}", flush=True)
+
+
+def save():
+    with open(os.path.join(ROOT, "R3_SESSION.json"), "w") as f:
+        json.dump(RESULTS, f, indent=1)
+
+
+def phase_a_link(fastq, scheme):
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    tsum = jax.jit(
+        lambda p, l, ei, ev: jnp.sum(p, dtype=jnp.int32)
+        + jnp.sum(l, dtype=jnp.int32) + jnp.sum(ei, dtype=jnp.int32)
+    )
+    out = {}
+    for sort in ("0", "1"):
+        os.environ["NGS_WIRE_SORT"] = sort
+        n_probe = 0
+        t0 = None
+        acc = None
+        for k, pb in enumerate(read_fastq_packed_parallel(
+            fastq, min_width=scheme.length, batch_reads=BATCH,
+        )):
+            r = tsum(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val)
+            if k == 0:
+                int(r)
+                t0 = time.perf_counter()
+            else:
+                acc = r
+                n_probe += pb.n_reads
+            if k == 24:
+                break
+        int(acc)
+        rps = n_probe / (time.perf_counter() - t0)
+        out[f"sort{sort}"] = round(rps, 1)
+        log(f"A: transfer ceiling sort={sort}: {rps/1e6:.2f}M reads/s")
+    RESULTS["A_link_ceiling_rps"] = out
+    save()
+
+
+def phase_b_e2e(fastq, paths):
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator,
+        RunConfig,
+        decode_file,
+        setup,
+    )
+
+    cfg = RunConfig(
+        fastq=fastq, format=paths["scheme"],
+        sample_barcodes_option=paths["samples"],
+        counted_barcodes_option=paths["barcodes"],
+        output_dir=WORKDIR, prefix="r3", batch_size=BATCH, progress=False,
+    )
+    scheme, conv, me, plan, _ = setup(cfg)
+    # warmup (compile + first transfers)
+    acc = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc, limit_batches=2)
+    acc.finalize()
+
+    grid = {}
+    for sort in ("1", "0"):
+        for thr in ("4", "2", "3"):
+            os.environ["NGS_WIRE_SORT"] = sort
+            os.environ["NGS_INGEST_THREADS"] = thr
+            times = []
+            total = 0
+            for _ in range(2):
+                acc = CountAccumulator(plan, conv)
+                t0 = time.perf_counter()
+                total = decode_file(cfg, plan, scheme, acc)
+                acc.finalize()
+                times.append(time.perf_counter() - t0)
+            rps = total / (sum(times) / len(times))
+            best = total / min(times)
+            grid[f"sort{sort}_t{thr}"] = {
+                "sustained": round(rps, 1), "best": round(best, 1),
+            }
+            log(
+                f"B: sort={sort} threads={thr}: sustained "
+                f"{rps/1e6:.2f}M best {best/1e6:.2f}M"
+            )
+            save()
+    RESULTS["B_e2e_grid"] = grid
+    save()
+
+
+def phase_c_tb(fastq, paths):
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.runner import RunConfig, setup
+
+    cfg = RunConfig(
+        fastq=fastq, format=paths["scheme"],
+        sample_barcodes_option=paths["samples"],
+        counted_barcodes_option=paths["barcodes"],
+        output_dir=WORKDIR, prefix="r3", batch_size=BATCH, progress=False,
+    )
+    scheme, conv, me, plan, _ = setup(cfg)
+    os.environ["NGS_WIRE_SORT"] = "0"
+    pb = next(iter(read_fastq_packed_parallel(
+        fastq, min_width=scheme.length, batch_reads=BATCH,
+    )))
+    if getattr(pb, "transposed", False):
+        pb.packed = np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    d_packed = jax.device_put(pb.packed)
+    d_lengths = jax.device_put(np.asarray(pb.lengths))
+    d_exc_i = jax.device_put(pb.exc_idx)
+    d_exc_v = jax.device_put(pb.exc_val)
+    d_n = jax.device_put(np.array([pb.n_reads], np.int32))
+    out = {}
+    for tb in (256, 512, 1024):
+        try:
+            step = pdec.build_pallas_packed_step(plan, pb.width, TB=tb)
+            counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+            ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            counts, ctr = step(
+                counts, ctr, d_packed, d_lengths, d_exc_i, d_exc_v, d_n
+            )
+            np.asarray(ctr)
+            counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+            ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            K = 30
+            t0 = time.perf_counter()
+            for _ in range(K):
+                counts, ctr = step(
+                    counts, ctr, d_packed, d_lengths, d_exc_i, d_exc_v, d_n
+                )
+            np.asarray(ctr)
+            rps = K * pb.n_reads / (time.perf_counter() - t0)
+            out[f"TB{tb}"] = round(rps, 1)
+            log(f"C: TB={tb}: {rps/1e6:.2f}M reads/s "
+                f"({1e9/rps:.1f} ns/read)")
+        except Exception as e:
+            out[f"TB{tb}"] = f"FAILED: {type(e).__name__}: {e}"
+            log(f"C: TB={tb} FAILED: {e}")
+        save()
+    RESULTS["C_tb_sweep"] = out
+    save()
+
+
+def main():
+    from ngs_barcode_count_tpu.utils.claim import claim_devices
+
+    log("claiming TPU (bounded retry)...")
+    claim_devices(max_attempts=8, total_sleep_budget_s=1800)
+    import jax
+
+    assert jax.devices()[0].platform != "cpu"
+    log(f"claimed: {jax.devices()}")
+    from ngs_barcode_count_tpu.runner import _enable_compile_cache
+
+    _enable_compile_cache()
+
+    sys.path.insert(0, ROOT)
+    from bench import prepare_inputs
+
+    fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
+        WORKDIR, N_READS
+    )
+    paths = {
+        "scheme": scheme_path, "samples": samples_path,
+        "barcodes": barcodes_path,
+    }
+    from ngs_barcode_count_tpu.scheme import parse_scheme
+
+    scheme = parse_scheme(scheme_path)
+
+    phase_a_link(fastq, scheme)
+    phase_b_e2e(fastq, paths)
+    phase_c_tb(fastq, paths)
+
+    if os.environ.get("NGS_SESSION_TPU_CHECK", "1") == "1":
+        log("phase D: tpu_check (full kernel-equality gate)")
+        import tpu_check
+
+        try:
+            tpu_check.main()
+        except SystemExit as e:
+            RESULTS["D_tpu_check_rc"] = int(e.code or 0)
+        save()
+
+    if os.environ.get("NGS_SESSION_RANDOM", "1") == "1":
+        log("phase E: random-mode e2e (BASELINE config 4)")
+        import bench_random
+
+        try:
+            bench_random.main()
+            RESULTS["E_random_rc"] = 0
+        except SystemExit as e:
+            RESULTS["E_random_rc"] = int(e.code or 0)
+        except Exception as e:  # noqa: BLE001
+            RESULTS["E_random_rc"] = f"{type(e).__name__}: {e}"
+        save()
+    log("session done")
+    save()
+
+
+if __name__ == "__main__":
+    main()

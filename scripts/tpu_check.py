@@ -620,8 +620,11 @@ def _bench_hashset_device(workdir, results):
 def main():
     import jax
 
+    from ngs_barcode_count_tpu.utils.claim import claim_devices
+
     workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
     os.makedirs(workdir, exist_ok=True)
+    claim_devices()  # bounded retry: the pool claim fails transiently
     assert jax.devices()[0].platform != "cpu", "tpu_check needs a TPU"
     from ngs_barcode_count_tpu.runner import _enable_compile_cache
 
