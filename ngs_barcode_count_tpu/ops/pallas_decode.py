@@ -48,6 +48,47 @@ ST_LOWQ = 5
 _BIG = np.int32(1 << 20)
 
 
+def _split_mm() -> bool:
+    """Kernel formulation toggle (perf experiment, bit-identical
+    results): NGS_KERNEL_SPLIT_MM=1 replaces each one-hot-concat +
+    single-matmul pair with per-base-class matmuls accumulated in f32 —
+    no [TB, 5L] concat relayout, at the cost of 5 thinner MXU calls.
+    Default off; scripts/r3_perf_session.py A/Bs it on hardware."""
+    import os
+
+    return os.environ.get("NGS_KERNEL_SPLIT_MM") == "1"
+
+
+def _onehot_dot(src, w_ref, L: int, n_cls: int = 5, is_n=None):
+    """dot(one_hot(src), W) without materializing the concat: either the
+    fused [TB, n_cls*L] build + one matmul (default) or n_cls separate
+    [TB, L] x [L, C] matmuls summed (split_mm).  ``is_n`` (read-N mask,
+    already bf16) folds max(onehot, is_n) into base classes 0..3 and is
+    class 4 itself, matching _kernel_match's encoding; None = plain
+    equality one-hot (the scan matmul)."""
+    if is_n is None:
+        blocks = [(src == c).astype(jnp.bfloat16) for c in range(n_cls)]
+    else:
+        blocks = [
+            jnp.maximum((src == c).astype(jnp.bfloat16), is_n)
+            for c in range(4)
+        ]
+        blocks.append(is_n)
+    if not _split_mm():
+        m_in = jnp.concatenate(blocks, axis=1)
+        return jnp.dot(
+            m_in, w_ref[...], preferred_element_type=jnp.float32
+        )
+    acc = None
+    for c, blk in enumerate(blocks):
+        part = jnp.dot(
+            blk, w_ref[c * L : (c + 1) * L, :],
+            preferred_element_type=jnp.float32,
+        )
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -168,14 +209,9 @@ def _kernel_match_all(R, w_all_ref, metas, F, TB):
     _kernel_match per slot (parse.rs:553-593).  Yields (idx, ok) in
     metas order."""
     is_n = (R == dna.N).astype(jnp.bfloat16)
-    blocks = [
-        jnp.maximum((R == c).astype(jnp.bfloat16), is_n) for c in range(4)
-    ]
-    blocks.append(is_n)
-    m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5F]
-    matches = jnp.dot(
-        m_in, w_all_ref[...], preferred_element_type=jnp.float32
-    ).astype(jnp.int32)  # [TB, C_all]
+    matches = _onehot_dot(R, w_all_ref, F, is_n=is_n).astype(
+        jnp.int32
+    )  # [TB, C_all]
     out = []
     for name, slot, col_off, nc, nc_pad, budget in metas:
         sl = slot.length
@@ -316,14 +352,12 @@ def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
     decode is shifts/masks; the packing fits int32 for any format with
     n_const * O_pad * next_pow2(n_wild+1) < 2^29 (checked at build by
     _front_key_bound)."""
-    x1h = jnp.concatenate(
-        [(basesf == c).astype(jnp.bfloat16) for c in range(5)], axis=1
-    )  # [TB, 5L] -- bf16 operands, f32 accumulation: inputs are exactly
-    # representable (0/1) so counts stay exact integers while the MXU
-    # runs at its bf16 rate
-    scan = jnp.dot(
-        x1h, scan_w_ref[...], preferred_element_type=jnp.float32
-    ).astype(jnp.int32)  # [TB, 3*O_pad]
+    # bf16 operands, f32 accumulation: inputs are exactly representable
+    # (0/1) so counts stay exact integers while the MXU runs at its
+    # bf16 rate
+    scan = _onehot_dot(basesf, scan_w_ref, L).astype(
+        jnp.int32
+    )  # [TB, 3*O_pad]
     strict_o = scan[:, :O_pad]
     wild_o = scan[:, O_pad : 2 * O_pad]
     relax_o = scan[:, 2 * O_pad : 3 * O_pad]
@@ -430,14 +464,7 @@ def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
     """Tie-drop Hamming argmin of realigned slot codes against one
     candidate matrix (parse.rs:553-593).  Returns (idx, ok) [TB, 1]."""
     is_n = (r == dna.N).astype(jnp.bfloat16)
-    blocks = [
-        jnp.maximum((r == c).astype(jnp.bfloat16), is_n) for c in range(4)
-    ]
-    blocks.append(is_n)
-    m_in = jnp.concatenate(blocks, axis=1)  # [TB, 5*sl]
-    matches = jnp.dot(
-        m_in, w_ref[...], preferred_element_type=jnp.float32
-    ).astype(jnp.int32)
+    matches = _onehot_dot(r, w_ref, sl, is_n=is_n).astype(jnp.int32)
     cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
     m = jnp.where(cand_col < nc, sl - matches, _BIG)
     m_min = jnp.min(m, axis=1, keepdims=True)
@@ -620,7 +647,7 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     """
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = (id(plan), width, TB)
+    key = (id(plan), width, TB, _split_mm())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -946,7 +973,7 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     shared, so table/counts/counters/overflow stay bit-identical)."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("hashset", id(plan), width, cap, TB)
+    key = ("hashset", id(plan), width, cap, TB, _split_mm())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1011,7 +1038,7 @@ def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
     ops.decode.keyed_decode_step_packed's contract."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("keyed", id(plan), width, TB)
+    key = ("keyed", id(plan), width, TB, _split_mm())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     from ngs_barcode_count_tpu import stats
