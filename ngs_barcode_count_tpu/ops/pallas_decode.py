@@ -51,7 +51,7 @@ _BIG = np.int32(1 << 20)
 def _split_mm() -> bool:
     """Kernel formulation toggle (perf experiment, bit-identical
     results): NGS_KERNEL_SPLIT_MM=1 replaces each one-hot-concat +
-    single-matmul pair with per-base-class matmuls accumulated in f32 —
+    single-matmul pair with per-base-class matmuls accumulated —
     no [TB, 5L] concat relayout, at the cost of 5 thinner MXU calls.
     Default off; scripts/r3_perf_session.py A/Bs it on hardware."""
     import os
@@ -59,31 +59,51 @@ def _split_mm() -> bool:
     return os.environ.get("NGS_KERNEL_SPLIT_MM") == "1"
 
 
+def _mm_dtype():
+    """Matmul operand dtype for the one-hot products.  Default bf16
+    (exact for 0/1/-3 operands under f32 accumulation).
+    NGS_KERNEL_I8MM=1 switches to int8 operands with int32 accumulation
+    — pure integer arithmetic (also exact) at the MXU's 2x int8 rate,
+    if Mosaic lowers it well (perf experiment, A/B'd on hardware)."""
+    import os
+
+    return (
+        jnp.int8 if os.environ.get("NGS_KERNEL_I8MM") == "1"
+        else jnp.bfloat16
+    )
+
+
+def _variant_key():
+    """Formulation fingerprint for the compiled-step caches."""
+    return (_split_mm(), _mm_dtype() == jnp.int8)
+
+
 def _onehot_dot(src, w_ref, L: int, n_cls: int = 5, is_n=None):
-    """dot(one_hot(src), W) without materializing the concat: either the
-    fused [TB, n_cls*L] build + one matmul (default) or n_cls separate
-    [TB, L] x [L, C] matmuls summed (split_mm).  ``is_n`` (read-N mask,
-    already bf16) folds max(onehot, is_n) into base classes 0..3 and is
-    class 4 itself, matching _kernel_match's encoding; None = plain
-    equality one-hot (the scan matmul)."""
+    """dot(one_hot(src), W) in the configured formulation: fused
+    [TB, n_cls*L] build + one matmul (default) or n_cls separate
+    [TB, L] x [L, C] matmuls summed (split_mm), with bf16 or int8
+    operands (_mm_dtype).  ``is_n`` (read-N mask, already cast) folds
+    max(onehot, is_n) into base classes 0..3 and is class 4 itself,
+    matching _kernel_match's encoding; None = plain equality one-hot
+    (the scan matmul).  Every variant computes the same exact integer
+    counts."""
+    dt = _mm_dtype()
+    acc_t = jnp.int32 if dt == jnp.int8 else jnp.float32
     if is_n is None:
-        blocks = [(src == c).astype(jnp.bfloat16) for c in range(n_cls)]
+        blocks = [(src == c).astype(dt) for c in range(n_cls)]
     else:
         blocks = [
-            jnp.maximum((src == c).astype(jnp.bfloat16), is_n)
-            for c in range(4)
+            jnp.maximum((src == c).astype(dt), is_n) for c in range(4)
         ]
         blocks.append(is_n)
     if not _split_mm():
         m_in = jnp.concatenate(blocks, axis=1)
-        return jnp.dot(
-            m_in, w_ref[...], preferred_element_type=jnp.float32
-        )
+        return jnp.dot(m_in, w_ref[...], preferred_element_type=acc_t)
     acc = None
     for c, blk in enumerate(blocks):
         part = jnp.dot(
             blk, w_ref[c * L : (c + 1) * L, :],
-            preferred_element_type=jnp.float32,
+            preferred_element_type=acc_t,
         )
         acc = part if acc is None else acc + part
     return acc
@@ -208,7 +228,7 @@ def _kernel_match_all(R, w_all_ref, metas, F, TB):
     unaligned slice + concat per slot before).  Semantics identical to
     _kernel_match per slot (parse.rs:553-593).  Yields (idx, ok) in
     metas order."""
-    is_n = (R == dna.N).astype(jnp.bfloat16)
+    is_n = (R == dna.N).astype(_mm_dtype())
     matches = _onehot_dot(R, w_all_ref, F, is_n=is_n).astype(
         jnp.int32
     )  # [TB, C_all]
@@ -463,7 +483,7 @@ def _kernel_quality_gate(plan, qualsf, o_idx, O, offset, has_exact,
 def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
     """Tie-drop Hamming argmin of realigned slot codes against one
     candidate matrix (parse.rs:553-593).  Returns (idx, ok) [TB, 1]."""
-    is_n = (r == dna.N).astype(jnp.bfloat16)
+    is_n = (r == dna.N).astype(_mm_dtype())
     matches = _onehot_dot(r, w_ref, sl, is_n=is_n).astype(jnp.int32)
     cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
     m = jnp.where(cand_col < nc, sl - matches, _BIG)
@@ -606,7 +626,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                          memory_space=pltpu.VMEM)
             for w in consts_np
         ]
-        args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
+        args += [jnp.asarray(w, _mm_dtype()) for w in consts_np]
         flat, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -647,7 +667,7 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     """
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = (id(plan), width, TB, _split_mm())
+    key = (id(plan), width, TB, _variant_key())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -937,7 +957,11 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                          memory_space=pltpu.VMEM)
             for w in consts_np
         ]
-        args += [jnp.asarray(w, jnp.bfloat16) for w in consts_np]
+        n_oh = len(consts_np) - (2 if raw_slots else 0)
+        args += [
+            jnp.asarray(w, _mm_dtype() if k < n_oh else jnp.bfloat16)
+            for k, w in enumerate(consts_np)
+        ]
         wire, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -973,7 +997,7 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     shared, so table/counts/counters/overflow stay bit-identical)."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("hashset", id(plan), width, cap, TB, _split_mm())
+    key = ("hashset", id(plan), width, cap, TB, _variant_key())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1038,7 +1062,7 @@ def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
     ops.decode.keyed_decode_step_packed's contract."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("keyed", id(plan), width, TB, _split_mm())
+    key = ("keyed", id(plan), width, TB, _variant_key())
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     from ngs_barcode_count_tpu import stats

@@ -158,43 +158,49 @@ def phase_c_tb(fastq, paths):
     d_n = jax.device_put(np.array([pb.n_reads], np.int32))
     out = {}
     ref_ctr = None
-    for tb in (256, 512, 1024):
-        for split in ("0", "1"):
-            os.environ["NGS_KERNEL_SPLIT_MM"] = split
-            tag = f"TB{tb}_split{split}"
-            try:
-                step = pdec.build_pallas_packed_step(plan, pb.width, TB=tb)
-                counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
-                ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    configs = [
+        (256, "0", "0"), (256, "1", "0"), (256, "0", "1"),
+        (256, "1", "1"), (512, "0", "0"), (1024, "0", "0"),
+        (512, "0", "1"),
+    ]
+    for tb, split, i8 in configs:
+        os.environ["NGS_KERNEL_SPLIT_MM"] = split
+        os.environ["NGS_KERNEL_I8MM"] = i8
+        tag = f"TB{tb}_split{split}_i8{i8}"
+        try:
+            step = pdec.build_pallas_packed_step(plan, pb.width, TB=tb)
+            counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+            ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            counts, ctr = step(
+                counts, ctr, d_packed, d_lengths, d_exc_i, d_exc_v, d_n
+            )
+            ctr_np = np.asarray(ctr)
+            if ref_ctr is None:
+                ref_ctr = ctr_np
+            elif not np.array_equal(ref_ctr, ctr_np):
+                out[tag] = f"COUNTER MISMATCH {ctr_np.tolist()}"
+                log(f"C: {tag} COUNTER MISMATCH — skipping timing")
+                continue
+            counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+            ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+            K = 30
+            t0 = time.perf_counter()
+            for _ in range(K):
                 counts, ctr = step(
-                    counts, ctr, d_packed, d_lengths, d_exc_i, d_exc_v, d_n
+                    counts, ctr, d_packed, d_lengths, d_exc_i,
+                    d_exc_v, d_n,
                 )
-                ctr_np = np.asarray(ctr)
-                if ref_ctr is None:
-                    ref_ctr = ctr_np
-                elif not np.array_equal(ref_ctr, ctr_np):
-                    out[tag] = f"COUNTER MISMATCH {ctr_np.tolist()}"
-                    log(f"C: {tag} COUNTER MISMATCH — skipping timing")
-                    continue
-                counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
-                ctr = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
-                K = 30
-                t0 = time.perf_counter()
-                for _ in range(K):
-                    counts, ctr = step(
-                        counts, ctr, d_packed, d_lengths, d_exc_i,
-                        d_exc_v, d_n,
-                    )
-                np.asarray(ctr)
-                rps = K * pb.n_reads / (time.perf_counter() - t0)
-                out[tag] = round(rps, 1)
-                log(f"C: {tag}: {rps/1e6:.2f}M reads/s "
-                    f"({1e9/rps:.1f} ns/read)")
-            except Exception as e:
-                out[tag] = f"FAILED: {type(e).__name__}: {e}"
-                log(f"C: {tag} FAILED: {e}")
-            save()
+            np.asarray(ctr)
+            rps = K * pb.n_reads / (time.perf_counter() - t0)
+            out[tag] = round(rps, 1)
+            log(f"C: {tag}: {rps/1e6:.2f}M reads/s "
+                f"({1e9/rps:.1f} ns/read)")
+        except Exception as e:
+            out[tag] = f"FAILED: {type(e).__name__}: {e}"
+            log(f"C: {tag} FAILED: {e}")
+        save()
     os.environ.pop("NGS_KERNEL_SPLIT_MM", None)
+    os.environ.pop("NGS_KERNEL_I8MM", None)
     RESULTS["C_tb_sweep"] = out
     save()
 
