@@ -125,6 +125,34 @@ def phase_b_e2e(fastq, paths):
     RESULTS["B_e2e_grid"] = grid
     save()
 
+    # batch-size sweep at the winning (sort, threads) point: the sorted
+    # wire changes compression, so the 128k optimum may have moved
+    best_key = max(grid, key=lambda k: grid[k]["sustained"])
+    sort, thr = best_key[4], best_key.split("_t")[1]
+    os.environ["NGS_WIRE_SORT"] = sort
+    os.environ["NGS_INGEST_THREADS"] = thr
+    bs_grid = {}
+    for bs in (1 << 16, 1 << 17, 1 << 18):
+        cfg.batch_size = bs
+        acc = CountAccumulator(plan, conv)
+        decode_file(cfg, plan, scheme, acc, limit_batches=2)  # compile
+        acc.finalize()
+        times = []
+        for _ in range(2):
+            acc = CountAccumulator(plan, conv)
+            t0 = time.perf_counter()
+            total = decode_file(cfg, plan, scheme, acc)
+            acc.finalize()
+            times.append(time.perf_counter() - t0)
+        rps = total / (sum(times) / len(times))
+        bs_grid[str(bs)] = round(rps, 1)
+        log(f"B2: batch={bs}: sustained {rps/1e6:.2f}M (at {best_key})")
+        save()
+    cfg.batch_size = BATCH
+    RESULTS["B2_batch_sweep"] = bs_grid
+    RESULTS["B_best"] = best_key
+    save()
+
 
 def phase_c_tb(fastq, paths):
     import jax
