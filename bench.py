@@ -121,14 +121,20 @@ def main():
     # driver capture — BENCH_r02.json rc=1).  If it stays down, fail
     # over to a CPU measurement with the error recorded in detail, so
     # the driver always gets the one JSON line.
-    from ngs_barcode_count_tpu.utils.claim import claim_devices, force_cpu
+    from ngs_barcode_count_tpu.utils.claim import (
+        claim_devices_guarded,
+        force_cpu,
+    )
 
     claim_error = None
     try:
-        claim_devices(
-            max_attempts=int(os.environ.get("NGS_CLAIM_ATTEMPTS", 5)),
-            total_sleep_budget_s=float(
-                os.environ.get("NGS_CLAIM_BUDGET_S", 600)
+        # time-BOUNDED: a down pool hangs ~25 min per in-process attempt
+        # (uncancellable); the guarded claim probes in a subprocess under
+        # a hard timeout so the driver always gets its JSON line
+        claim_devices_guarded(
+            max_attempts=int(os.environ.get("NGS_CLAIM_ATTEMPTS", 4)),
+            total_budget_s=float(
+                os.environ.get("NGS_CLAIM_BUDGET_S", 1500)
             ),
         )
     except Exception as e:

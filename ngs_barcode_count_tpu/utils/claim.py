@@ -91,6 +91,77 @@ def claim_devices(
     raise last_err
 
 
+_PROBE_SNIPPET = (
+    "import jax, numpy as np, jax.numpy as jnp; "
+    "x = jax.device_put(np.arange(8, dtype=np.int32)); "
+    "assert int(jnp.sum(x)) == 28; "
+    "print('CLAIM_PROBE_OK', jax.devices()[0].platform)"
+)
+
+
+def claim_devices_guarded(
+    max_attempts: int = 4,
+    total_budget_s: float = 1500.0,
+    probe_timeout_s: float = 480.0,
+    first_delay_s: float = 30.0,
+    verbose: bool = True,
+):
+    """Time-BOUNDED claim for deadline-sensitive callers (bench.py).
+
+    A failing pool claim can HANG ~25 minutes inside backend init
+    (observed 2026-08-18), and jax's backend lock makes an in-process
+    attempt uncancellable — so the pool is first probed in a SUBPROCESS
+    under a hard timeout.  Only after a probe succeeds does the
+    in-process claim run (the pool is up, so it completes normally).
+    Raises TimeoutError/RuntimeError when the budget is exhausted.
+    """
+    import subprocess
+
+    start = time.monotonic()
+    delay = first_delay_s
+    last = "no attempts made"
+    for attempt in range(1, max_attempts + 1):
+        left = total_budget_s - (time.monotonic() - start)
+        if left <= 5:
+            break
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SNIPPET],
+                capture_output=True, text=True,
+                timeout=min(probe_timeout_s, left),
+            )
+            if r.returncode == 0 and "CLAIM_PROBE_OK" in r.stdout:
+                if verbose:
+                    print(
+                        f"[claim] subprocess probe ok "
+                        f"({r.stdout.strip().split()[-1]}); claiming "
+                        "in-process", file=sys.stderr,
+                    )
+                return claim_devices(
+                    max_attempts=2,
+                    total_sleep_budget_s=max(
+                        total_budget_s - (time.monotonic() - start), 30
+                    ),
+                    verbose=verbose,
+                )
+            last = (r.stderr or r.stdout).strip().splitlines() or ["?"]
+            last = last[-1][:300]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {probe_timeout_s:.0f}s"
+        if verbose:
+            print(
+                f"[claim] probe attempt {attempt}/{max_attempts} failed "
+                f"({last})", file=sys.stderr,
+            )
+        left = total_budget_s - (time.monotonic() - start)
+        if attempt < max_attempts and left > delay:
+            time.sleep(delay)
+            delay = min(delay * 1.7, 180.0)
+    raise TimeoutError(
+        f"TPU claim failed within {total_budget_s:.0f}s budget: {last}"
+    )
+
+
 def force_cpu() -> None:
     """Fail over to the CPU platform after a hard TPU-claim failure.
 

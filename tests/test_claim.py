@@ -80,3 +80,62 @@ def test_immediate_success_no_sleep():
     )
     assert devs == ["d"]
     assert sleeps == []
+
+
+def test_guarded_claim_probe_ok(monkeypatch):
+    """Subprocess probe succeeds -> the in-process claim runs."""
+    import subprocess
+
+    from ngs_barcode_count_tpu.utils import claim as cm
+
+    class R:
+        returncode = 0
+        stdout = "CLAIM_PROBE_OK axon\n"
+        stderr = ""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    monkeypatch.setattr(cm, "claim_devices", lambda **k: ["tpu0"])
+    assert cm.claim_devices_guarded(verbose=False) == ["tpu0"]
+
+
+def test_guarded_claim_times_out_within_budget(monkeypatch):
+    """A pool whose claims HANG must not hang the caller: every probe
+    times out in the subprocess and the guarded claim raises inside its
+    budget instead of blocking ~25 min per attempt."""
+    import subprocess
+
+    from ngs_barcode_count_tpu.utils import claim as cm
+
+    calls = {"n": 0}
+
+    def fake_run(*a, timeout=None, **k):
+        calls["n"] += 1
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(cm.time, "sleep", lambda s: None)
+    with pytest.raises(TimeoutError, match="within .*budget"):
+        cm.claim_devices_guarded(
+            max_attempts=3, total_budget_s=100.0, probe_timeout_s=1.0,
+            verbose=False,
+        )
+    assert calls["n"] == 3
+
+
+def test_guarded_claim_probe_error_retries(monkeypatch):
+    """Probe fails fast with UNAVAILABLE -> retries, then raises."""
+    import subprocess
+
+    from ngs_barcode_count_tpu.utils import claim as cm
+
+    class R:
+        returncode = 1
+        stdout = ""
+        stderr = "RuntimeError: Unable to initialize backend 'axon'"
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: R())
+    monkeypatch.setattr(cm.time, "sleep", lambda s: None)
+    with pytest.raises(TimeoutError, match="axon"):
+        cm.claim_devices_guarded(
+            max_attempts=2, total_budget_s=100.0, verbose=False
+        )
