@@ -47,7 +47,8 @@ def _gen_many_distinct(tmp_path, rng, n_reads, n_randoms):
             random_barcode=pool[rng.integers(0, len(pool))],
         )
         reads.append(r)
-        quals.append("I" * len(r))
+        q = rng.integers(20, 41, len(r)) + 33
+        quals.append("".join(chr(int(x)) for x in q))
     fq = tmp_path / "sat.fastq"
     simulate.write_fastq(str(fq), reads, quals)
     return paths, str(fq)
@@ -61,12 +62,16 @@ def _host_keyed_reference(cfg, plan, scheme, conv):
     return acc, n
 
 
-def test_saturation_recovers_single_device(tmp_path, rng, monkeypatch):
+@pytest.mark.parametrize("min_q", [0.0, 25.0])
+def test_saturation_recovers_single_device(tmp_path, rng, monkeypatch,
+                                           min_q):
     """One 2048-read batch against a 64-slot table: ~1900 overflow rows
-    vs a 1024-row buffer.  Round 2 raised RuntimeError here."""
+    vs a 1024-row buffer.  Round 2 raised RuntimeError here.  min_q>0
+    exercises the quality-gated replay step (pb.quals ride along)."""
     paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
     cfg = _mk_config(tmp_path, fq, paths)
     cfg.batch_size = 2048
+    cfg.min_average_quality_score = min_q
     monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
     monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", "64")
     scheme, conv, me, plan, _ = setup(cfg)
