@@ -212,6 +212,24 @@ def test_raw_dna_mode_e2e(tmp_path, rng):
     assert_counts_equal(result, exp, tallies)
 
 
+def test_sample_file_omitted_counted_present_e2e(tmp_path, rng):
+    """Scheme HAS a sample region but only the counted file is given:
+    sample keys are lazily inserted as raw DNA (info.rs:692-724
+    sample_conversion_omited) while counted barcodes still
+    error-correct against the dense candidate sets."""
+    paths = write_inputs(tmp_path)
+    del paths["samples"]
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 400, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    result = run(cfg)
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    assert_counts_equal(result, exp, tallies)
+    # keys are DNA sample barcodes, not IDs
+    assert all(set(k) <= set("ACGTN") for k in result.results.per_sample)
+
+
 def test_merged_and_enriched_output(tmp_path, rng):
     paths = write_inputs(tmp_path)
     cfg0 = _mk_config(tmp_path, "x.fastq", paths)
