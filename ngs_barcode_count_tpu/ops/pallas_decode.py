@@ -73,9 +73,27 @@ def _mm_dtype():
     )
 
 
+def _packed_scan() -> bool:
+    """NGS_KERNEL_PACKED_SCAN=1 packs the offset-scan's three per-offset
+    counts (strict-const, wild-ACGT, read-N-at-const) into ONE column per
+    offset with power-of-two weights, decoded by shifts — the scan matmul
+    shrinks from [5L, 3*O_pad] to [5L, O_pad] (3x fewer MXU FLOPs and a
+    3x smaller int32 scan intermediate).  Exact: every weight is a single
+    power of two (bf16-representable) and the packed sum stays < 2^24
+    (f32 accumulation is exact there; checked at build, classic fallback
+    otherwise).  Incompatible with int8 operands (weights exceed int8),
+    so I8MM wins when both are set."""
+    import os
+
+    return (
+        os.environ.get("NGS_KERNEL_PACKED_SCAN") == "1"
+        and os.environ.get("NGS_KERNEL_I8MM") != "1"
+    )
+
+
 def _variant_key():
     """Formulation fingerprint for the compiled-step caches."""
-    return (_split_mm(), _mm_dtype() == jnp.int8)
+    return (_split_mm(), _mm_dtype() == jnp.int8, _packed_scan())
 
 
 def _onehot_dot(src, w_ref, L: int, n_cls: int = 5, is_n=None):
@@ -136,6 +154,56 @@ def _scan_matrix(plan: DecodePlan, L: int, O: int, O_pad: int) -> np.ndarray:
                 for b in range(4):
                     W[b * L + l, O_pad + o] += 1.0
     return W
+
+
+def _scan_matrix_packed(plan: DecodePlan, L: int, O: int, O_pad: int):
+    """[5L, O_pad] f32 weight matrix packing the three scan counts into
+    one column per offset: read-N-at-const hits (low ``b_n`` bits),
+    wild-position ACGT hits (next ``b_w`` bits), strict-const matches
+    (high bits).  Each entry is a single power of two.  Returns
+    (W, b_n, b_w); relax = strict + nhits (a read 'N' matches a constant
+    only via the wildcard rule, parse.rs:569)."""
+    scheme = plan.scheme
+    F = scheme.length
+    n_const = int(np.sum(scheme.kind == KIND_CONST))
+    n_wild = int(np.sum(scheme.kind == KIND_WILD))
+    b_n = int(n_const).bit_length()
+    b_w = int(n_wild).bit_length()
+    w_strict = float(1 << (b_n + b_w))
+    w_wild = float(1 << b_n)
+    W = np.zeros((5 * L, O_pad), dtype=np.float32)
+    for o in range(O):
+        for p in range(F):
+            k = scheme.kind[p]
+            l = o + p
+            if l >= L:
+                break
+            if k == KIND_CONST:
+                b = int(scheme.fmt_codes[p])
+                W[b * L + l, o] += w_strict
+                W[dna.N * L + l, o] += 1.0
+            elif k == KIND_WILD:
+                for b in range(4):
+                    W[b * L + l, o] += w_wild
+    return W, b_n, b_w
+
+
+def _build_scan(plan: DecodePlan, L: int, O: int, O_pad: int):
+    """Pick the scan-matrix formulation: (W, (b_n, b_w)) when the packed
+    variant is enabled and its sum bound fits f32-exact integers,
+    else (W_classic, None)."""
+    scheme = plan.scheme
+    n_const = int(np.sum(scheme.kind == KIND_CONST))
+    n_wild = int(np.sum(scheme.kind == KIND_WILD))
+    b_n = int(n_const).bit_length()
+    b_w = int(n_wild).bit_length()
+    bound = (
+        n_const * (1 << (b_n + b_w)) + n_wild * (1 << b_n) + n_const
+    )
+    if _packed_scan() and bound < (1 << 24):
+        W, b_n, b_w = _scan_matrix_packed(plan, L, O, O_pad)
+        return W, (b_n, b_w)
+    return _scan_matrix(plan, L, O, O_pad), None
 
 
 def _match_matrix(onehot: np.ndarray, n_mask: np.ndarray, sl: int):
@@ -333,8 +401,11 @@ def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
     MFU from this)."""
     scheme = plan.scheme
     F = scheme.length
-    O_pad = _round_up(L - F + 1, 128)
-    flops = 2 * 5 * L * 3 * O_pad
+    O = L - F + 1
+    O_pad = _round_up(O, 128)
+    _, scan_packed = _build_scan(plan, L, O, O_pad)
+    scan_cols = O_pad if scan_packed is not None else 3 * O_pad
+    flops = 2 * 5 * L * scan_cols
     slot_defs = []
     if scheme.sample_slot is not None and plan.sample_onehot is not None:
         slot_defs.append(
@@ -357,7 +428,8 @@ def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
 
 
 def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
-                      O, O_pad, n_const, n_wild, max_const):
+                      O, O_pad, n_const, n_wild, max_const,
+                      scan_packed=None):
     """Shared per-tile front end of every decode kernel: the one-matmul
     offset scan, the leftmost-exact / unique-best-repair selection, and
     the realigned format region.  Returns (const_ok, offset, has_exact,
@@ -375,12 +447,23 @@ def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
     # bf16 operands, f32 accumulation: inputs are exactly representable
     # (0/1) so counts stay exact integers while the MXU runs at its
     # bf16 rate
-    scan = _onehot_dot(basesf, scan_w_ref, L).astype(
-        jnp.int32
-    )  # [TB, 3*O_pad]
-    strict_o = scan[:, :O_pad]
-    wild_o = scan[:, O_pad : 2 * O_pad]
-    relax_o = scan[:, 2 * O_pad : 3 * O_pad]
+    if scan_packed is not None:
+        # packed-scan variant: one column per offset, counts recovered
+        # by shifts/masks (_scan_matrix_packed layout)
+        b_n, b_w = scan_packed
+        packed = _onehot_dot(basesf, scan_w_ref, L).astype(
+            jnp.int32
+        )  # [TB, O_pad]
+        strict_o = packed >> (b_n + b_w)
+        wild_o = (packed >> b_n) & ((1 << b_w) - 1)
+        relax_o = strict_o + (packed & ((1 << b_n) - 1))
+    else:
+        scan = _onehot_dot(basesf, scan_w_ref, L).astype(
+            jnp.int32
+        )  # [TB, 3*O_pad]
+        strict_o = scan[:, :O_pad]
+        wild_o = scan[:, O_pad : 2 * O_pad]
+        relax_o = scan[:, 2 * O_pad : 3 * O_pad]
     o_idx = jax.lax.broadcasted_iota(jnp.int32, (TB, O_pad), 1)
     o_in_range = (o_idx + F <= lengths) & (o_idx < O)
 
@@ -519,7 +602,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     n_wild = int(np.sum(scheme.kind == KIND_WILD))
     max_const = plan.max_errors.constant_region
 
-    W_scan = _scan_matrix(plan, L, O, O_pad)
+    W_scan, scan_packed = _build_scan(plan, L, O, O_pad)
 
     slot_defs = []
     if scheme.sample_slot is not None:
@@ -558,6 +641,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             _kernel_front_end(
                 plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
                 O_pad, n_const, n_wild, max_const,
+                scan_packed=scan_packed,
             )
         )
 
@@ -763,7 +847,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
     n_const = int(np.sum(scheme.kind == KIND_CONST))
     n_wild = int(np.sum(scheme.kind == KIND_WILD))
     max_const = plan.max_errors.constant_region
-    W_scan = _scan_matrix(plan, L, O, O_pad)
+    W_scan, scan_packed = _build_scan(plan, L, O, O_pad)
     layout = keyed_wire_layout(plan)
     fused = _fused_bits(plan)
     n_wire = layout["total"]
@@ -848,6 +932,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
             _kernel_front_end(
                 plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
                 O_pad, n_const, n_wild, max_const,
+                scan_packed=scan_packed,
             )
         )
 

@@ -187,14 +187,18 @@ def phase_c_tb(fastq, paths):
     out = {}
     ref_ctr = None
     configs = [
-        (256, "0", "0"), (256, "1", "0"), (256, "0", "1"),
-        (256, "1", "1"), (512, "0", "0"), (1024, "0", "0"),
-        (512, "0", "1"),
+        (256, "0", "0", "0"), (256, "1", "0", "0"), (256, "0", "1", "0"),
+        (256, "1", "1", "0"), (512, "0", "0", "0"), (1024, "0", "0", "0"),
+        (512, "0", "1", "0"),
+        # packed single-column scan (3x narrower scan matmul)
+        (256, "0", "0", "1"), (256, "1", "0", "1"), (512, "0", "0", "1"),
+        (1024, "0", "0", "1"),
     ]
-    for tb, split, i8 in configs:
+    for tb, split, i8, pscan in configs:
         os.environ["NGS_KERNEL_SPLIT_MM"] = split
         os.environ["NGS_KERNEL_I8MM"] = i8
-        tag = f"TB{tb}_split{split}_i8{i8}"
+        os.environ["NGS_KERNEL_PACKED_SCAN"] = pscan
+        tag = f"TB{tb}_split{split}_i8{i8}_ps{pscan}"
         try:
             step = pdec.build_pallas_packed_step(plan, pb.width, TB=tb)
             counts = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
@@ -229,6 +233,7 @@ def phase_c_tb(fastq, paths):
         save()
     os.environ.pop("NGS_KERNEL_SPLIT_MM", None)
     os.environ.pop("NGS_KERNEL_I8MM", None)
+    os.environ.pop("NGS_KERNEL_PACKED_SCAN", None)
     RESULTS["C_tb_sweep"] = out
     save()
 

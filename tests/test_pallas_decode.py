@@ -257,6 +257,102 @@ def test_pallas_front_key_overflow_fallback(dense_setup, rng, monkeypatch):
     np.testing.assert_array_equal(flat_p[:B][valid_p], flat_x[:B][valid_p])
 
 
+@pytest.mark.parametrize(
+    "split,i8,packed",
+    [
+        ("1", "0", "0"),  # split-matmul one-hot
+        ("0", "1", "0"),  # int8 MXU operands
+        ("0", "0", "1"),  # packed single-column scan
+        ("1", "0", "1"),  # split + packed scan
+        ("1", "1", "0"),  # split + int8
+    ],
+)
+def test_kernel_formulation_variants_bit_identical(
+    dense_setup, rng, monkeypatch, split, i8, packed
+):
+    """Every NGS_KERNEL_* formulation (perf experiments A/B'd on real
+    hardware by scripts/r3_perf_session.py) must compute bit-identical
+    decode results in interpret mode; Mosaic lowering differences are
+    covered separately by scripts/tpu_check.py on the chip."""
+    monkeypatch.setenv("NGS_KERNEL_SPLIT_MM", split)
+    monkeypatch.setenv("NGS_KERNEL_I8MM", i8)
+    monkeypatch.setenv("NGS_KERNEL_PACKED_SCAN", packed)
+    scheme, plan, oracle, conv = dense_setup
+    reads = gen_reads(rng, scheme, 96, err_range=(0, 12))
+    noisy = []
+    for r in reads:
+        r = list(r)
+        for _ in range(int(rng.integers(0, 3))):
+            r[int(rng.integers(0, len(r)))] = "N"
+        noisy.append("".join(r))
+    quals = ["I" * len(r) for r in noisy]
+    flat_p, status_p, valid_x, flat_x, counters_x, B = _run_both(
+        plan, noisy, quals
+    )
+    valid_p = status_p[:B] == pdec.ST_VALID
+    np.testing.assert_array_equal(valid_p, valid_x[:B])
+    np.testing.assert_array_equal(flat_p[:B][valid_p], flat_x[:B][valid_p])
+    assert (status_p[:B] == pdec.ST_CONST).sum() == counters_x[
+        stats.CONSTANT_REGION
+    ]
+
+
+def test_packed_scan_matrix_bounds(dense_setup):
+    """_build_scan picks the packed layout only when the packed sum fits
+    f32-exact integers, and I8MM disables it (weights exceed int8)."""
+    scheme, plan, oracle, conv = dense_setup
+    L = scheme.length + 10
+    O = 11
+    O_pad = 128
+    import os
+
+    os.environ["NGS_KERNEL_PACKED_SCAN"] = "1"
+    os.environ.pop("NGS_KERNEL_I8MM", None)
+    try:
+        W, packed = pdec._build_scan(plan, L, O, O_pad)
+        assert packed is not None
+        assert W.shape == (5 * L, O_pad)
+        b_n, b_w = packed
+        # every entry is zero or a single power of two
+        vals = np.unique(W)
+        for v in vals:
+            assert v == 0.0 or (int(v) & (int(v) - 1)) == 0, v
+        os.environ["NGS_KERNEL_I8MM"] = "1"
+        W2, packed2 = pdec._build_scan(plan, L, O, O_pad)
+        assert packed2 is None
+        assert W2.shape == (5 * L, 3 * O_pad)
+    finally:
+        os.environ.pop("NGS_KERNEL_PACKED_SCAN", None)
+        os.environ.pop("NGS_KERNEL_I8MM", None)
+
+
+def test_keyed_variant_wire_parity(rng, monkeypatch):
+    """The packed-scan formulation must leave the keyed kernel's wire
+    matrix bit-identical too (random-barcode scheme, fused layout)."""
+    monkeypatch.setenv("NGS_KERNEL_PACKED_SCAN", "1")
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from tests.conftest import EXAMPLE_SCHEME
+    from tests.test_decode_vs_oracle import build_plan
+
+    scheme_r = parse_scheme_text(EXAMPLE_SCHEME)
+    plan_r, oracle_r, conv_r = build_plan(scheme_r)
+    reads = gen_reads(rng, scheme_r, 64, err_range=(0, 8))
+    quals = ["I" * len(r) for r in reads]
+    bases, quality, lengths, mask = encode_batch(reads, quals)
+    B, L = bases.shape
+    n_reads = np.array([B], np.int32)
+    kfn = pdec.build_pallas_decode_keyed(plan_r, L, TB=8, interpret=True)
+    wire_p, status_p = kfn(bases, lengths, n_reads)
+    from ngs_barcode_count_tpu.ops.decode import _keyed_packed_outputs
+
+    out_x = dec.keyed_decode_step(plan_r, bases, quality, lengths, mask)
+    compact = jax.jit(lambda: _keyed_packed_outputs(plan_r, out_x))()
+    valid = np.asarray(out_x["valid"])
+    np.testing.assert_array_equal(
+        np.asarray(wire_p)[valid], np.asarray(compact["wire"])[valid]
+    )
+
+
 def test_realign_matches_numpy(rng):
     """The log2 lane shifter is an exact gather: R[b,p]=src[b,shift+p]."""
     TB, L, F = 8, 40, 13
