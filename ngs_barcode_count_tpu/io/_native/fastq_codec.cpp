@@ -24,6 +24,11 @@
 
 #include <zlib.h>
 
+#if defined(__AVX2__) && defined(__BMI2__)
+#include <immintrin.h>
+#define NGS_CODEC_AVX2 1
+#endif
+
 namespace {
 
 constexpr int8_t kPad = 6;  // dna.PAD
@@ -55,6 +60,121 @@ struct LookupTables {
   }
 };
 const LookupTables kTables;
+
+// ---- SIMD sequence encoding -------------------------------------------
+//
+// The per-read hot loop is byte->2-bit packing plus exception detection.
+// ACGT's ASCII codes admit a branch-free 2-bit encode: g = (ch >> 1) & 3
+// maps A->0 C->1 G->3 T->2, and code = g ^ (g >> 1) swaps the last two
+// into the wire convention A=0 C=1 G=2 T=3 (dna.ASCII_TO_CODE).  With
+// AVX2 that is three vector ops over 32 bases, validity is four byte
+// compares, and the 2-bit lanes compress to bytes with BMI2 pext —
+// ~2.5x the scalar table loop per core (measured; see BENCH.md ingest).
+// Scalar fallback keeps non-x86 builds correct.
+
+#ifdef NGS_CODEC_AVX2
+inline uint32_t valid_mask32(__m256i ch) {
+  const __m256i vA = _mm256_set1_epi8('A');
+  const __m256i vC = _mm256_set1_epi8('C');
+  const __m256i vG = _mm256_set1_epi8('G');
+  const __m256i vT = _mm256_set1_epi8('T');
+  __m256i valid = _mm256_or_si256(
+      _mm256_or_si256(_mm256_cmpeq_epi8(ch, vA), _mm256_cmpeq_epi8(ch, vC)),
+      _mm256_or_si256(_mm256_cmpeq_epi8(ch, vG), _mm256_cmpeq_epi8(ch, vT)));
+  return static_cast<uint32_t>(_mm256_movemask_epi8(valid));
+}
+#endif
+
+// Number of information-losing bytes (everything outside uppercase ACGT).
+inline size_t count_exceptions(const uint8_t* s, size_t n) {
+  size_t exc = 0;
+  size_t i = 0;
+#ifdef NGS_CODEC_AVX2
+  for (; i + 32 <= n; i += 32) {
+    __m256i ch =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(s + i));
+    exc += static_cast<size_t>(_mm_popcnt_u32(~valid_mask32(ch)));
+  }
+#endif
+  for (; i < n; ++i) exc += kTables.is_exc[s[i]];
+  return exc;
+}
+
+// Encode s[0..n) into 2-bit lanes of prow (pre-zeroed, stride bytes) and
+// append (row_base + i, true_code) exception pairs in position order.
+inline void pack_seq(const uint8_t* s, size_t n, uint8_t* prow,
+                     int64_t row_base, int32_t* exc_idx, int8_t* exc_val,
+                     int64_t& ne) {
+  size_t i = 0;
+#ifdef NGS_CODEC_AVX2
+  alignas(32) uint8_t codes[32];
+  const __m256i m06 = _mm256_set1_epi8(0x06);
+  const __m256i m02 = _mm256_set1_epi8(0x02);
+  for (; i + 32 <= n; i += 32) {
+    __m256i ch =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(s + i));
+    const __m256i vA = _mm256_set1_epi8('A');
+    const __m256i vC = _mm256_set1_epi8('C');
+    const __m256i vG = _mm256_set1_epi8('G');
+    const __m256i vT = _mm256_set1_epi8('T');
+    __m256i valid = _mm256_or_si256(
+        _mm256_or_si256(_mm256_cmpeq_epi8(ch, vA),
+                        _mm256_cmpeq_epi8(ch, vC)),
+        _mm256_or_si256(_mm256_cmpeq_epi8(ch, vG),
+                        _mm256_cmpeq_epi8(ch, vT)));
+    uint32_t vm = static_cast<uint32_t>(_mm256_movemask_epi8(valid));
+    __m256i g = _mm256_srli_epi16(_mm256_and_si256(ch, m06), 1);
+    __m256i sw = _mm256_srli_epi16(_mm256_and_si256(g, m02), 1);
+    __m256i code = _mm256_xor_si256(g, sw);
+    // exceptions pack as 0 on the wire (the true code ships in exc_val)
+    code = _mm256_and_si256(code, valid);
+    _mm256_store_si256(reinterpret_cast<__m256i*>(codes), code);
+    uint8_t* dst = prow + (i >> 2);
+    for (int k = 0; k < 4; ++k) {
+      uint64_t v;
+      memcpy(&v, codes + 8 * k, 8);
+      uint16_t p = static_cast<uint16_t>(
+          _pext_u64(v, 0x0303030303030303ull));
+      memcpy(dst + 2 * k, &p, 2);
+    }
+    if (vm != 0xFFFFFFFFu) {
+      uint32_t bad = ~vm;
+      while (bad) {
+        int b = __builtin_ctz(bad);
+        bad &= bad - 1;
+        exc_idx[ne] = static_cast<int32_t>(row_base + i + b);
+        exc_val[ne] = kTables.base[s[i + b]];
+        ++ne;
+      }
+    }
+  }
+#endif
+  for (; i < n; ++i) {
+    uint8_t ch = s[i];
+    prow[i >> 2] |= kTables.two_bit[ch] << ((i & 3) << 1);
+    if (kTables.is_exc[ch]) {
+      exc_idx[ne] = static_cast<int32_t>(row_base + i);
+      exc_val[ne] = kTables.base[ch];
+      ++ne;
+    }
+  }
+}
+
+// Phred = clamp(ascii - 33, 0, 93), vectorized (saturating sub + min).
+inline void encode_phred(const uint8_t* q, size_t n, int8_t* out) {
+  size_t i = 0;
+#ifdef NGS_CODEC_AVX2
+  const __m256i off = _mm256_set1_epi8(33);
+  const __m256i cap = _mm256_set1_epi8(93);
+  for (; i + 32 <= n; i += 32) {
+    __m256i v =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(q + i));
+    v = _mm256_min_epu8(_mm256_subs_epu8(v, off), cap);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(out + i), v);
+  }
+#endif
+  for (; i < n; ++i) out[i] = kTables.phred[q[i]];
+}
 
 struct Reader {
   FILE* f = nullptr;
@@ -338,29 +458,18 @@ int64_t fastq_next_batch_packed(void* h, int64_t cap, int64_t width,
   auto emit_packed = [&](const uint8_t* qual, size_t qlen) -> int {
     size_t sl = r->seq_line.size();
     // count exceptions first so overflow can hold the whole record
-    size_t exc_here = 0;
-    for (size_t i = 0; i < sl; ++i)
-      exc_here += kTables.is_exc[r->seq_line[i]];
+    size_t exc_here = count_exceptions(r->seq_line.data(), sl);
     if (static_cast<int64_t>(ne + exc_here) > cap_exc) {
       *exc_count = -static_cast<int64_t>(ne + exc_here);
       return -1;
     }
     uint8_t* prow = packed + n * stride;
     memset(prow, 0, stride);
-    int64_t row_base = n * width;
-    for (size_t i = 0; i < sl; ++i) {
-      uint8_t ch = r->seq_line[i];
-      prow[i >> 2] |= kTables.two_bit[ch] << ((i & 3) << 1);
-      if (kTables.is_exc[ch]) {
-        exc_idx[ne] = static_cast<int32_t>(row_base + i);
-        exc_val[ne] = kTables.base[ch];
-        ++ne;
-      }
-    }
+    pack_seq(r->seq_line.data(), sl, prow, n * width, exc_idx, exc_val, ne);
     if (quals) {
       int8_t* qrow = quals + n * width;
       size_t ql = qlen < sl ? qlen : sl;
-      for (size_t i = 0; i < ql; ++i) qrow[i] = kTables.phred[qual[i]];
+      encode_phred(qual, ql, qrow);
       memset(qrow + ql, 0, width - ql);
     }
     lengths[n] = static_cast<int32_t>(sl);
@@ -446,6 +555,45 @@ int64_t fastq_next_batch_packed(void* h, int64_t cap, int64_t width,
   }
   *exc_count = ne;
   return n;
+}
+
+// Stable LSD radix argsort of u64 keys (4 passes x 16-bit digits).
+// The wire-sort producer stage clusters similar reads before the
+// col-major transpose (parallel_ingest._sort_batch_rows); numpy's
+// comparison argsort took 12ms per 131k-read batch — this runs ~1.5ms,
+// freeing producer-thread CPU the relay's compressor competes for.
+void radix_argsort_u64(const uint64_t* keys, int64_t n, int32_t* order) {
+  std::vector<int32_t> tmp(static_cast<size_t>(n));
+  int32_t* src = order;
+  int32_t* dst = tmp.data();
+  for (int64_t i = 0; i < n; ++i) order[i] = static_cast<int32_t>(i);
+  // one read of the key array builds all 8 digit histograms (8-bit
+  // digits keep every histogram L1-resident); constant digits skip
+  int64_t hist[8][256] = {};
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t k = keys[i];
+    for (int p = 0; p < 8; ++p) ++hist[p][(k >> (p * 8)) & 0xFF];
+  }
+  for (int pass = 0; pass < 8; ++pass) {
+    int64_t* h = hist[pass];
+    uint64_t first = n ? (keys[src[0]] >> (pass * 8)) & 0xFF : 0;
+    if (h[first] == n) continue;  // constant digit: stable no-op
+    int64_t sum = 0;
+    for (int b = 0; b < 256; ++b) {
+      int64_t c = h[b];
+      h[b] = sum;
+      sum += c;
+    }
+    const int shift = pass * 8;
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t s = src[i];
+      dst[h[(keys[s] >> shift) & 0xFF]++] = s;
+    }
+    int32_t* t = src;
+    src = dst;
+    dst = t;
+  }
+  if (src != order) memcpy(order, src, static_cast<size_t>(n) * 4);
 }
 
 // Inflate all gzip members whose first byte lies in file range

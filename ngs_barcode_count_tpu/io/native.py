@@ -138,8 +138,29 @@ def get_lib():
         lib.dedup_import.argtypes = [
             ctypes.c_void_p, U64P, U64P, ctypes.c_int64,
         ]
+        lib.radix_argsort_u64.argtypes = [
+            U64P, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         return _lib
+
+
+def radix_argsort(keys) -> "np.ndarray":
+    """Stable argsort of a contiguous uint64 key vector via the native
+    LSD radix sort (~8x numpy's comparison argsort on 131k keys); falls
+    back to numpy when the codec is unavailable."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or keys.dtype != np.uint64 or not keys.flags.c_contiguous:
+        return np.argsort(keys, kind="stable")
+    order = np.empty(keys.shape[0], np.int32)
+    lib.radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        keys.shape[0],
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return order
 
 
 def available() -> bool:

@@ -62,7 +62,7 @@ def _sort_batch_rows(pb: PackedReads) -> None:
     n = pb.n_reads
     R = pb.packed
     key = R[:n, :8].copy().view(np.uint64).byteswap().ravel()
-    order = np.argsort(key, kind="stable")
+    order = native.radix_argsort(key)
     R[:n] = R[:n][order]
     pb.lengths[:n] = pb.lengths[:n][order]
     if pb.quals is not None:

@@ -118,3 +118,59 @@ def test_phred_values(tmp_path):
     p.write_text("@r\nACGT\n+\n!I5#\n")
     c = list(native.read_fastq_native(str(p)))[0]
     assert list(c.quals[0, :4]) == [0, ord("I") - 33, ord("5") - 33, 2]
+
+
+def test_packed_simd_vs_python_adversarial(tmp_path, rng):
+    """Differential pin of the SIMD packed encoder (fastq_codec.cpp
+    pack_seq/count_exceptions, AVX2+pext fast path) against a
+    pure-Python restatement, on adversarial sequences: lengths spanning
+    the 32-byte vector boundary, lowercase bases, N runs, punctuation,
+    and high (>=0x80) bytes.  Exceptions must come out in position
+    order with the packed lanes zeroed."""
+    alphabet = list("ACGT") * 8 + list("Nacgtn.@~") + ["\x80", "\xfe"]
+    seqs = []
+    for ln in [0, 1, 3, 4, 31, 32, 33, 63, 64, 65, 96, 100]:
+        for _ in range(4):
+            seqs.append(
+                "".join(alphabet[i] for i in rng.integers(0, len(alphabet), ln))
+            )
+    seqs.append("A" * 31 + "N")        # exception on the vector tail
+    seqs.append("N" * 64)              # all-exception read
+    path = tmp_path / "adv.fastq"
+    with open(path, "w", encoding="latin-1") as f:
+        for i, s in enumerate(seqs):
+            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+
+    batches = list(
+        native.read_fastq_native_packed(
+            str(path), batch_reads=16, check_format=False, with_quals=True
+        )
+    )
+    got = 0
+    for pb in batches:
+        width = pb.width
+        exc_pairs = [
+            (int(i), int(v))
+            for i, v in zip(pb.exc_idx, pb.exc_val)
+            if i >= 0
+        ]
+        # reconstruct expected wire content row by row
+        exp_exc = []
+        for r in range(pb.n_reads):
+            s = seqs[got + r]
+            assert pb.lengths[r] == len(s)
+            row = np.zeros(width // 4, np.uint8)
+            for j, ch in enumerate(s):
+                code = {"A": 0, "C": 1, "G": 2, "T": 3}.get(ch, 0)
+                row[j >> 2] |= code << ((j & 3) * 2)
+                if ch not in "ACGT":
+                    exp_exc.append(
+                        (r * width + j, int(dna.ASCII_TO_CODE[ord(ch)]))
+                    )
+            np.testing.assert_array_equal(pb.packed[r], row, err_msg=s)
+            np.testing.assert_array_equal(
+                pb.quals[r, : len(s)], np.full(len(s), ord("I") - 33)
+            )
+        assert exc_pairs == exp_exc
+        got += pb.n_reads
+    assert got == len(seqs)
