@@ -1069,7 +1069,12 @@ class CountAccumulator:
             return "barcode"
         return self.conv.sample_set.sequences[idx]
 
-    def results_view(self) -> ResultsView:
+    def results_view(self, lazy_dense: bool = False) -> ResultsView:
+        """Final counts as ResultsView.  ``lazy_dense=True`` (the output
+        path) skips materializing per-combo dicts when the dense tensor
+        is present AND the writer's dense fast path can consume it
+        directly (counted conversion file present) — per_sample then
+        carries only the pre-seeded sample keys."""
         plan = self.plan
         per_sample: dict[str, dict[str, int]] = {}
         # Pre-seed sample keys like Results::new (info.rs:697-719): all
@@ -1083,10 +1088,14 @@ class CountAccumulator:
         if self.dense is not None:
             arr = self.dense.to_numpy(self.dense_state)
             n_samples, _ = arr.shape
+            skip_fill = lazy_dense and bool(self.conv.counted_barcodes_hash)
             sample_keys = []
             for s in range(n_samples):
                 key = self._sample_key_of_index(s)
                 sample_keys.append(key)
+                if skip_fill:
+                    per_sample.setdefault(key, {})
+                    continue
                 nz = np.flatnonzero(arr[s])
                 if len(nz) == 0:
                     per_sample.setdefault(key, {})
@@ -1505,6 +1514,9 @@ def _write_outputs(
     print(f"Compute time: {elapsed_display(elapsed)}\n")
 
     print("-WRITING COUNTS-")
+    # eager view: RunResult.results.per_sample is a public contract (and
+    # its cost is bounded by the combo space, not the read count); the
+    # writer still takes the dense fast path off results.dense_arr
     results = acc.results_view()
     writer_config = WriterConfig(
         fastq=config.fastq,

@@ -190,3 +190,70 @@ def test_dense_enrichment_fast_path_equals_row_walk(tmp_path, rng):
         a = open(tmp_path / "fast" / f).read()
         b = open(tmp_path / "slow" / f).read()
         assert a == b, f
+
+
+def test_dense_writer_fast_path_byte_identical(tmp_path, rng):
+    """The vectorized dense Full-pass writer (tensor -> CSV, lazy
+    results_view) must produce byte-identical files to the per-row dict
+    walk, across per-sample, merged, and enriched outputs, and must
+    report the same output_counts / merged_count bookkeeping."""
+    import copy
+
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, decode_file, setup,
+    )
+    from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 800, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.enrich = True
+    cfg.merge_output = True
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+
+    lazy = acc.results_view(lazy_dense=True)
+    assert lazy.dense_arr is not None
+    assert all(not d for d in lazy.per_sample.values())
+    eager = acc.results_view()
+    assert any(d for d in eager.per_sample.values())
+    eager_dicts_only = copy.copy(eager)
+    eager_dicts_only.dense_arr = None
+    eager_dicts_only.dense_sample_keys = None
+
+    (tmp_path / "fast").mkdir()
+    (tmp_path / "slow").mkdir()
+    wc = WriterConfig(
+        fastq=cfg.fastq, format=cfg.format,
+        sample_barcodes_option=cfg.sample_barcodes_option,
+        counted_barcodes_option=cfg.counted_barcodes_option,
+        output_dir=str(tmp_path / "fast"), prefix="t",
+        merge_output=True, enrich=True,
+    )
+    w_fast = WriteFiles(
+        lazy, scheme, conv.counted_barcodes_hash,
+        conv.samples_barcode_hash, wc,
+    )
+    w_fast.write_counts_files()
+    wc2 = copy.copy(wc)
+    wc2.output_dir = str(tmp_path / "slow")
+    w_slow = WriteFiles(
+        eager_dicts_only, scheme, conv.counted_barcodes_hash,
+        conv.samples_barcode_hash, wc2,
+    )
+    # dicts-only view: the dict walk must drive enrichment too
+    w_slow.write_counts_files()
+
+    fast_files = sorted(os.listdir(tmp_path / "fast"))
+    slow_files = sorted(os.listdir(tmp_path / "slow"))
+    assert fast_files == slow_files and len(fast_files) >= 7
+    for f in fast_files:
+        a = open(tmp_path / "fast" / f).read()
+        b = open(tmp_path / "slow" / f).read()
+        assert a == b, f
+    assert w_fast.output_files == w_slow.output_files
+    assert w_fast.output_counts == w_slow.output_counts
