@@ -137,9 +137,18 @@ def test_packed_simd_vs_python_adversarial(tmp_path, rng):
     seqs.append("A" * 31 + "N")        # exception on the vector tail
     seqs.append("N" * 64)              # all-exception read
     path = tmp_path / "adv.fastq"
+    # quality strings sweep the clamp edges of the vectorized Phred
+    # conversion: below 33 (-> 0), the normal range, and >126 (-> 93)
+    qual_alphabet = [chr(c) for c in [1, 32, 33, 34, 74, 125, 126, 200, 255]]
+    quals = []
     with open(path, "w", encoding="latin-1") as f:
         for i, s in enumerate(seqs):
-            f.write(f"@r{i}\n{s}\n+\n{'I' * len(s)}\n")
+            q = "".join(
+                qual_alphabet[(i + j) % len(qual_alphabet)]
+                for j in range(len(s))
+            )
+            quals.append(q)
+            f.write(f"@r{i}\n{s}\n+\n{q}\n")
 
     batches = list(
         native.read_fastq_native_packed(
@@ -168,9 +177,11 @@ def test_packed_simd_vs_python_adversarial(tmp_path, rng):
                         (r * width + j, int(dna.ASCII_TO_CODE[ord(ch)]))
                     )
             np.testing.assert_array_equal(pb.packed[r], row, err_msg=s)
-            np.testing.assert_array_equal(
-                pb.quals[r, : len(s)], np.full(len(s), ord("I") - 33)
+            exp_q = np.array(
+                [min(max(ord(c) - 33, 0), 93) for c in quals[got + r]],
+                np.int8,
             )
+            np.testing.assert_array_equal(pb.quals[r, : len(s)], exp_q)
         assert exc_pairs == exp_exc
         got += pb.n_reads
     assert got == len(seqs)
