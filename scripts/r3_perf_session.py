@@ -79,6 +79,76 @@ def phase_a_link(fastq, scheme):
     save()
 
 
+def phase_a2_dual_dispatch(fastq, scheme):
+    """Does a second dispatch thread close the gap between consecutive
+    jit-argument transfers?  The e2e loop is one Python thread that
+    BLOCKS during each batch's h2d transfer; if the relay client can
+    interleave two in-flight transfers (or just overlap Python overhead
+    with TCP), two threads each driving their own reduction chain should
+    beat one.  Informs a potential NGS_DUAL_STREAM e2e mode (the dense
+    count state would split into two accumulators merged at flush)."""
+    import queue as _q
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    tsum = jax.jit(
+        lambda p, l, ei, ev: jnp.sum(p, dtype=jnp.int32)
+        + jnp.sum(l, dtype=jnp.int32) + jnp.sum(ei, dtype=jnp.int32)
+    )
+    out = {}
+    for n_threads in (1, 2):
+        batches = []
+        it = read_fastq_packed_parallel(
+            fastq, min_width=scheme.length, batch_reads=BATCH,
+        )
+        for k, pb in enumerate(it):
+            batches.append(pb)
+            if k == 24:
+                break
+        int(tsum(batches[0].packed, batches[0].lengths,
+                 batches[0].exc_idx, batches[0].exc_val))  # warm
+        work: _q.Queue = _q.Queue()
+        for pb in batches[1:]:
+            work.put(pb)
+        results = []
+        lock = threading.Lock()
+
+        def drive():
+            last = None
+            while True:
+                try:
+                    pb = work.get_nowait()
+                except _q.Empty:
+                    break
+                last = tsum(pb.packed, pb.lengths, pb.exc_idx, pb.exc_val)
+            if last is not None:
+                with lock:
+                    results.append(last)
+
+        t0 = time.perf_counter()
+        threads = [
+            threading.Thread(target=drive) for _ in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for r in results:
+            int(r)
+        n_probe = sum(pb.n_reads for pb in batches[1:])
+        rps = n_probe / (time.perf_counter() - t0)
+        out[f"threads{n_threads}"] = round(rps, 1)
+        log(f"A2: dispatch threads={n_threads}: {rps/1e6:.2f}M reads/s")
+    RESULTS["A2_dual_dispatch_rps"] = out
+    save()
+
+
 def phase_b_e2e(fastq, paths):
     from ngs_barcode_count_tpu.runner import (
         CountAccumulator,
@@ -266,6 +336,7 @@ def main():
     scheme = parse_scheme(scheme_path)
 
     phase_a_link(fastq, scheme)
+    phase_a2_dual_dispatch(fastq, scheme)
     phase_b_e2e(fastq, paths)
     phase_c_tb(fastq, paths)
 
