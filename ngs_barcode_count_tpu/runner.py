@@ -1301,6 +1301,26 @@ def decode_file(
             f"Resumed from {config.checkpoint_path}: "
             f"{total_reads:,} reads done, {where}"
         )
+    # NGS_DUAL_STREAM=1: two dispatch threads over two independent count
+    # lanes (merged at the end).  On relay links the dispatch thread
+    # BLOCKS inside each batch's h2d transfer; a second lane overlaps the
+    # Python-side dispatch overhead with the in-flight transfer.  Dense
+    # unsharded runs only; exact (counts and counters add commutatively).
+    if (
+        os.environ.get("NGS_DUAL_STREAM") == "1"
+        and use_packed
+        and not checkpointing
+        and not config.resume
+        and limit_batches is None
+        and byte_range is None
+        and acc.dense is not None
+        and acc.engine is None
+        and acc.hashset is None
+        and acc.hashset_engine is None
+        and acc.bitmap is None
+    ):
+        return _decode_dual_stream(config, plan, scheme, acc, min_width,
+                                   meter)
     if use_packed or use_packed_keyed:
         from ngs_barcode_count_tpu import checkpoint as ckpt
         from ngs_barcode_count_tpu.io.parallel_ingest import (
@@ -1414,6 +1434,78 @@ def decode_file(
                     f"Total sequences:             {total_reads:,}\r", end=""
                 )
     return total_reads
+
+
+def _decode_dual_stream(
+    config: RunConfig,
+    plan: dec.DecodePlan,
+    scheme: SequenceScheme,
+    acc: CountAccumulator,
+    min_width: int,
+    meter,
+) -> int:
+    """Two dispatch threads, two count lanes, one merge (see decode_file).
+
+    Each thread owns a full CountAccumulator lane, so its jit calls never
+    share mutable state; the ingest generator and progress counters sit
+    behind locks.  Lane 2's tensors add into lane 1 at the end — dense
+    counting is order-independent, so the result is bit-identical to the
+    single-stream loop (tested in test_packed_path)."""
+    import threading
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    gen = read_fastq_packed_parallel(
+        config.fastq,
+        min_width=min_width,
+        batch_reads=config.batch_size,
+        with_quals=plan.min_quality > 0.0,
+        n_threads=config.threads,
+    )
+    lane2 = CountAccumulator(plan, acc.conv)
+    lanes = [acc, lane2]
+    it_lock = threading.Lock()
+    stats_lock = threading.Lock()
+    totals = [0, 0]
+    errors: list[BaseException] = []
+
+    def drive(i: int) -> None:
+        lane = lanes[i]
+        try:
+            while True:
+                with it_lock:
+                    pb = next(gen, None)
+                if pb is None:
+                    return
+                lane.step_packed(pb)
+                with stats_lock:
+                    totals[i] += pb.n_reads
+                    meter.update(pb.n_reads)
+                    if config.progress:
+                        print(
+                            f"Total sequences:             "
+                            f"{totals[0] + totals[1]:,}\r",
+                            end="",
+                        )
+        except BaseException as e:  # surfaced after join
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=drive, args=(i,), daemon=True)
+        for i in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    acc.dense_state = acc.dense_state + lane2.dense_state
+    acc.dense_counters = acc.dense_counters + lane2.dense_counters
+    acc._dual_streamed = True  # test hook: the branch really ran
+    return totals[0] + totals[1]
 
 
 def _enable_compile_cache() -> None:

@@ -223,6 +223,28 @@ def phase_b_e2e(fastq, paths):
     RESULTS["B_best"] = best_key
     save()
 
+    # B3: dual-dispatch e2e at the winning config (two count lanes, two
+    # dispatch threads; see runner._decode_dual_stream + phase A2)
+    os.environ["NGS_DUAL_STREAM"] = "1"
+    try:
+        times = []
+        for _ in range(2):
+            acc = CountAccumulator(plan, conv)
+            t0 = time.perf_counter()
+            total = decode_file(cfg, plan, scheme, acc)
+            acc.finalize()
+            times.append(time.perf_counter() - t0)
+        rps = total / (sum(times) / len(times))
+        RESULTS["B3_dual_stream"] = {
+            "sustained": round(rps, 1),
+            "best": round(total / min(times), 1),
+        }
+        log(f"B3: dual-stream e2e: sustained {rps/1e6:.2f}M "
+            f"best {total/min(times)/1e6:.2f}M")
+    finally:
+        os.environ.pop("NGS_DUAL_STREAM", None)
+    save()
+
 
 def phase_c_tb(fastq, paths):
     import jax

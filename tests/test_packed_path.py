@@ -259,3 +259,42 @@ def test_sorted_col_wire_equals_unsorted(tmp_path, rng, monkeypatch, min_q):
         acc_u.seq_errors.counters, acc_s.seq_errors.counters
     )
     assert acc_u.results_view().per_sample == acc_s.results_view().per_sample
+
+
+def test_dual_stream_equals_single(tmp_path, rng):
+    """NGS_DUAL_STREAM=1 (two dispatch threads, two count lanes merged at
+    the end) must be bit-identical to the single-stream loop."""
+    import os
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 3000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 256  # many small batches so both threads get work
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc_single = CountAccumulator(plan, conv)
+    n1 = decode_file(cfg, plan, scheme, acc_single)
+
+    os.environ["NGS_DUAL_STREAM"] = "1"
+    try:
+        acc_dual = CountAccumulator(plan, conv)
+        n2 = decode_file(cfg, plan, scheme, acc_dual)
+    finally:
+        del os.environ["NGS_DUAL_STREAM"]
+
+    assert n1 == n2 == 3000
+    assert getattr(acc_dual, "_dual_streamed", False)
+    assert not getattr(acc_single, "_dual_streamed", False)
+    np.testing.assert_array_equal(
+        np.asarray(acc_single.dense_counters),
+        np.asarray(acc_dual.dense_counters),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(acc_single.dense_state), np.asarray(acc_dual.dense_state)
+    )
+    acc_single.finalize()
+    acc_dual.finalize()
+    assert acc_single.results_view().per_sample == \
+        acc_dual.results_view().per_sample
