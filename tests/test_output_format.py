@@ -257,3 +257,61 @@ def test_dense_writer_fast_path_byte_identical(tmp_path, rng):
         assert a == b, f
     assert w_fast.output_files == w_slow.output_files
     assert w_fast.output_counts == w_slow.output_counts
+
+
+def test_dense_writer_chunk_boundaries(tmp_path):
+    """The dense writer assembles rows in 50k chunks (the reference's
+    progress cadence); a synthetic ~120k-nonzero tensor crosses two
+    chunk boundaries and must still match the dict walk byte for byte."""
+    import numpy as np
+
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+
+    scheme = parse_scheme_text("[4]\nACGT\n{3}\nAC\n{3}\nGT\n{3}\nTAGA\n")
+    rng = np.random.default_rng(5)
+    n_per = 52
+    seqs = []
+    for j in range(3):
+        s = set()
+        while len(s) < n_per:
+            s.add("".join("ACGT"[i] for i in rng.integers(0, 4, 3)))
+        seqs.append(sorted(s, key=lambda x: rng.random()))  # unsorted order
+    counted_hash = [
+        {b: f"B{j}_{i}" for i, b in enumerate(seqs[j])} for j in range(3)
+    ]
+    samples_hash = {"AAAA": "S1", "CCCC": "S2"}
+    arr = rng.integers(0, 3, (2, n_per, n_per, n_per)).astype(np.int64)
+    # ~2/3 of 140k combos nonzero per sample -> >50k rows per file
+    per_sample = {}
+    for s, key in enumerate(["AAAA", "CCCC"]):
+        d = {}
+        nz = np.argwhere(arr[s])
+        for i0, i1, i2 in nz:
+            code = f"{seqs[0][i0]},{seqs[1][i1]},{seqs[2][i2]}"
+            d[code] = int(arr[s, i0, i1, i2])
+        per_sample[key] = d
+    dense = ResultsView(
+        {k: {} for k in per_sample}, dense_arr=arr,
+        dense_sample_keys=["AAAA", "CCCC"],
+    )
+    dicts = ResultsView(per_sample)
+
+    outs = {}
+    for tag, view in (("fast", dense), ("slow", dicts)):
+        d = tmp_path / tag
+        d.mkdir()
+        wc = WriterConfig(
+            fastq="x.fastq", format="s.txt",
+            sample_barcodes_option="sb.csv",
+            counted_barcodes_option="cb.csv",
+            output_dir=str(d), prefix="t", merge_output=True, enrich=False,
+        )
+        w = WriteFiles(view, scheme, counted_hash, samples_hash, wc)
+        w.write_counts_files()
+        outs[tag] = (d, w.output_counts)
+    fast_d, fast_counts = outs["fast"]
+    slow_d, slow_counts = outs["slow"]
+    assert fast_counts == slow_counts
+    assert fast_counts[1] > 50_000  # chunk boundary actually crossed
+    for f in sorted(os.listdir(fast_d)):
+        assert open(fast_d / f).read() == open(slow_d / f).read(), f
