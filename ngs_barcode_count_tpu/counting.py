@@ -92,7 +92,11 @@ class KeyedCounts:
         if len(key_cols) == 1:
             # 1-D unique is ~10x the axis=0 (void-view) path — the hot
             # case since the runner packs dense (sample, combo) pairs
-            # into one u64 column
+            # into one u64 column.  (Measured: np.unique beats the native
+            # radix argsort here — keyed batches are duplicate-heavy and
+            # pattern-defeating quicksort collapses duplicate runs, 9.6 vs
+            # 27.7 ms on 1M keys with 5k distinct; the radix sort only
+            # wins on high-entropy keys like the wire sort's.)
             uniq1, cnt = np.unique(
                 np.asarray(key_cols[0])[mask], return_counts=True
             )
