@@ -160,6 +160,39 @@ inline void pack_seq(const uint8_t* s, size_t n, uint8_t* prow,
   }
 }
 
+// int8 base codes for the unpacked path (dna.ASCII_TO_CODE): ACGT ->
+// 0..3 via the same branch-free encode, N -> 4, everything else -> 5.
+inline void encode_bases(const uint8_t* s, size_t n, int8_t* out) {
+  size_t i = 0;
+#ifdef NGS_CODEC_AVX2
+  const __m256i m06 = _mm256_set1_epi8(0x06);
+  const __m256i m02 = _mm256_set1_epi8(0x02);
+  const __m256i four = _mm256_set1_epi8(4);
+  const __m256i five = _mm256_set1_epi8(5);
+  for (; i + 32 <= n; i += 32) {
+    __m256i ch =
+        _mm256_loadu_si256(reinterpret_cast<const __m256i*>(s + i));
+    const __m256i vA = _mm256_set1_epi8('A');
+    const __m256i vC = _mm256_set1_epi8('C');
+    const __m256i vG = _mm256_set1_epi8('G');
+    const __m256i vT = _mm256_set1_epi8('T');
+    __m256i valid = _mm256_or_si256(
+        _mm256_or_si256(_mm256_cmpeq_epi8(ch, vA),
+                        _mm256_cmpeq_epi8(ch, vC)),
+        _mm256_or_si256(_mm256_cmpeq_epi8(ch, vG),
+                        _mm256_cmpeq_epi8(ch, vT)));
+    __m256i g = _mm256_srli_epi16(_mm256_and_si256(ch, m06), 1);
+    __m256i sw = _mm256_srli_epi16(_mm256_and_si256(g, m02), 1);
+    __m256i code = _mm256_xor_si256(g, sw);
+    __m256i isn = _mm256_cmpeq_epi8(ch, _mm256_set1_epi8('N'));
+    __m256i other = _mm256_blendv_epi8(five, four, isn);
+    code = _mm256_blendv_epi8(other, code, valid);
+    _mm256_storeu_si256(reinterpret_cast<__m256i*>(out + i), code);
+  }
+#endif
+  for (; i < n; ++i) out[i] = kTables.base[s[i]];
+}
+
 // Phred = clamp(ascii - 33, 0, 93), vectorized (saturating sub + min).
 inline void encode_phred(const uint8_t* q, size_t n, int8_t* out) {
   size_t i = 0;
@@ -343,9 +376,9 @@ void emit_row(Reader* r, const uint8_t* qual, size_t qlen, int64_t n,
   int8_t* brow = bases + n * width;
   int8_t* qrow = quals + n * width;
   size_t sl = r->seq_line.size();
-  for (size_t i = 0; i < sl; ++i) brow[i] = kTables.base[r->seq_line[i]];
+  encode_bases(r->seq_line.data(), sl, brow);
   size_t ql = qlen < sl ? qlen : sl;
-  for (size_t i = 0; i < ql; ++i) qrow[i] = kTables.phred[qual[i]];
+  encode_phred(qual, ql, qrow);
   if (ql < sl) memset(qrow + ql, 0, sl - ql);
   memset(brow + sl, kPad, width - sl);
   memset(qrow + sl, 0, width - sl);
