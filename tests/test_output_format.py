@@ -315,3 +315,65 @@ def test_dense_writer_chunk_boundaries(tmp_path):
     assert fast_counts[1] > 50_000  # chunk boundary actually crossed
     for f in sorted(os.listdir(fast_d)):
         assert open(fast_d / f).read() == open(slow_d / f).read(), f
+
+
+def test_dense_writer_duplicate_ids_and_mixed_lengths(tmp_path):
+    """Conversion files may map different DNA barcodes to the SAME ID
+    (the reference writes both rows; merged-file dedup keys on the RAW
+    DNA code, output.rs:292) and per-position barcode lengths differ.
+    The dense fast path must reproduce the dict walk byte for byte."""
+    import numpy as np
+
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+
+    scheme = parse_scheme_text("[4]\nACGT\n{2}\nAC\n{4}\nGT\n{3}\nTAGA\n")
+    seqs = [
+        ["AA", "CA", "GT", "TC"],
+        ["AAAA", "CCCC", "GGGG", "TTTT", "ACGT"],
+        ["AAA", "CCC", "GGG"],
+    ]
+    counted_hash = [
+        # duplicate IDs: AA and CA both convert to "dup"
+        {"AA": "dup", "CA": "dup", "GT": "g", "TC": "t"},
+        {s: f"B2_{i}" for i, s in enumerate(seqs[1])},
+        {"AAA": "x", "CCC": "x", "GGG": "y"},  # more duplicates
+    ]
+    samples_hash = {"AAAA": "S1", "CCCC": "S2", "GGGG": "S3"}
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 4, (3, 4, 5, 3)).astype(np.int64)
+    arr[arr == 3] = 1_000_000_007  # exercise wide count formatting
+    per_sample = {}
+    for s, key in enumerate(["AAAA", "CCCC", "GGGG"]):
+        d = {}
+        for i0 in range(4):
+            for i1 in range(5):
+                for i2 in range(3):
+                    if arr[s, i0, i1, i2]:
+                        code = f"{seqs[0][i0]},{seqs[1][i1]},{seqs[2][i2]}"
+                        d[code] = int(arr[s, i0, i1, i2])
+        per_sample[key] = d
+    dense = ResultsView(
+        {k: {} for k in per_sample}, dense_arr=arr,
+        dense_sample_keys=list(per_sample),
+    )
+    dicts = ResultsView(per_sample)
+    outs = {}
+    for tag, view in (("fast", dense), ("slow", dicts)):
+        d = tmp_path / tag
+        d.mkdir()
+        wc = WriterConfig(
+            fastq="x.fastq", format="s.txt",
+            sample_barcodes_option="sb.csv",
+            counted_barcodes_option="cb.csv",
+            output_dir=str(d), prefix="t", merge_output=True, enrich=False,
+        )
+        w = WriteFiles(view, scheme, counted_hash, samples_hash, wc)
+        w.write_counts_files()
+        outs[tag] = d
+    for f in sorted(os.listdir(outs["fast"])):
+        a = open(outs["fast"] / f).read()
+        b = open(outs["slow"] / f).read()
+        assert a == b, f
+    # duplicate-ID rows really exist: "dup,..." appears more than once
+    body = open(outs["fast"] / "t_S1_counts.csv").read()
+    assert body.count("dup,") > 1
