@@ -590,7 +590,7 @@ int64_t fastq_next_batch_packed(void* h, int64_t cap, int64_t width,
   return n;
 }
 
-// Stable LSD radix argsort of u64 keys (4 passes x 16-bit digits).
+// Stable LSD radix argsort of u64 keys (8 passes x 8-bit digits).
 // The wire-sort producer stage clusters similar reads before the
 // col-major transpose (parallel_ingest._sort_batch_rows); numpy's
 // comparison argsort took 12ms per 131k-read batch — this runs ~1.5ms,

@@ -78,13 +78,16 @@ def _sort_batch_rows(pb: PackedReads) -> None:
 
 
 def plan_ranges(
-    path: str, n_threads: int = 0
+    path: str, n_threads: int = 0, start: int = 0
 ) -> list[tuple[int, int]] | None:
     """The byte ranges read_fastq_packed_parallel would use for this
-    file, or None when it would use a single sequential reader (gzip,
-    small files, or one thread).  Checkpointing runs call this up front
-    so the saved frontier (one offset per range) matches the reader
-    pool exactly; resume re-reads each range from its saved offset."""
+    file (from record-aligned byte ``start``), or None when it would
+    use a single sequential reader (gzip, small remainders, or one
+    thread).  This is the ONE source of truth for range selection:
+    the generator itself plans through it, checkpointing runs call it
+    up front so the saved frontier (one offset per range) matches the
+    reader pool exactly, and offset-style resumes plan the remainder
+    [start, size) so they keep the full reader pool."""
     if n_threads <= 0:
         n_threads = int(
             os.environ.get("NGS_INGEST_THREADS", 0)
@@ -92,10 +95,11 @@ def plan_ranges(
     if path.endswith(".gz"):
         return None
     size = os.path.getsize(path)
-    if size < _range_min_bytes() or n_threads == 1:
+    if size - start < _range_min_bytes() or n_threads == 1:
         return None
     ranges = [
-        dist.host_byte_range(path, t, n_threads) for t in range(n_threads)
+        dist.sub_byte_range(path, start, size, t, n_threads)
+        for t in range(n_threads)
     ]
     return [(s, e) for s, e in ranges if e > s]
 
@@ -192,15 +196,14 @@ def read_fastq_packed_parallel(
                 queue_depth=queue_depth,
             )
             return
-    # Small files or resume-from-offset: one background thread.
-    if gz or size < _range_min_bytes() or start_offset > 0 or n_threads == 1:
+    # Small files or resume-from-offset: one background thread.  (The
+    # runner's checkpoint/resume path plans parallel resume ranges
+    # itself via plan_ranges(start=...) and passes them as ``ranges``;
+    # a bare start_offset here keeps single-reader semantics.)
+    if gz or start_offset > 0:
         ranges = None
     else:
-        ranges = [
-            dist.host_byte_range(path, t, n_threads)
-            for t in range(n_threads)
-        ]
-        ranges = [(s, e) for s, e in ranges if e > s]
+        ranges = plan_ranges(path, n_threads)
 
     q: queue.Queue = queue.Queue(maxsize=queue_depth)
     errors: list[BaseException] = []

@@ -188,10 +188,10 @@ def _scan_matrix_packed(plan: DecodePlan, L: int, O: int, O_pad: int):
     return W, b_n, b_w
 
 
-def _build_scan(plan: DecodePlan, L: int, O: int, O_pad: int):
-    """Pick the scan-matrix formulation: (W, (b_n, b_w)) when the packed
-    variant is enabled and its sum bound fits f32-exact integers,
-    else (W_classic, None)."""
+def _scan_is_packed(plan: DecodePlan) -> bool:
+    """Whether _build_scan will pick the packed single-column scan: the
+    variant is enabled and its sum bound fits f32-exact integers.
+    Cheap (no matrix construction) — flops accounting uses it too."""
     scheme = plan.scheme
     n_const = int(np.sum(scheme.kind == KIND_CONST))
     n_wild = int(np.sum(scheme.kind == KIND_WILD))
@@ -200,7 +200,13 @@ def _build_scan(plan: DecodePlan, L: int, O: int, O_pad: int):
     bound = (
         n_const * (1 << (b_n + b_w)) + n_wild * (1 << b_n) + n_const
     )
-    if _packed_scan() and bound < (1 << 24):
+    return _packed_scan() and bound < (1 << 24)
+
+
+def _build_scan(plan: DecodePlan, L: int, O: int, O_pad: int):
+    """Pick the scan-matrix formulation: (W, (b_n, b_w)) when the packed
+    variant applies (_scan_is_packed), else (W_classic, None)."""
+    if _scan_is_packed(plan):
         W, b_n, b_w = _scan_matrix_packed(plan, L, O, O_pad)
         return W, (b_n, b_w)
     return _scan_matrix(plan, L, O, O_pad), None
@@ -403,8 +409,7 @@ def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
     F = scheme.length
     O = L - F + 1
     O_pad = _round_up(O, 128)
-    _, scan_packed = _build_scan(plan, L, O, O_pad)
-    scan_cols = O_pad if scan_packed is not None else 3 * O_pad
+    scan_cols = O_pad if _scan_is_packed(plan) else 3 * O_pad
     flops = 2 * 5 * L * scan_cols
     slot_defs = []
     if scheme.sample_slot is not None and plan.sample_onehot is not None:

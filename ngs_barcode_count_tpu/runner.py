@@ -119,6 +119,18 @@ def _bitmap_fits(plan: dec.DecodePlan) -> bool:
     return plan.n_samples * plan.n_combos * c6 <= limit
 
 
+def _batch_pin_bytes(pb) -> int:
+    """Host bytes a pending overflow entry pins by retaining its source
+    batch for lossless saturation replay (_push_overflow)."""
+    if pb is None:
+        return 0
+    total = 0
+    for name in ("packed", "bases", "quals"):
+        arr = getattr(pb, name, None)
+        total += getattr(arr, "nbytes", 0)
+    return total
+
+
 class CountAccumulator:
     """Owns the mode-dependent accumulation state for a run.
 
@@ -588,16 +600,30 @@ class CountAccumulator:
         scalar fetch interrupted the transfer pipeline.
 
         ``pb`` (the source batch) rides along so a saturating batch can
-        be replayed losslessly (see _replay_saturated)."""
+        be replayed losslessly (see _replay_saturated).  Each pending
+        entry therefore pins its source batch in host RAM (packed wire
+        + quality bytes); NGS_OVERFLOW_PIN_MB (default 256) bounds the
+        total — when quality-gated batches are heavy, the queue
+        harvests oldest-first early (shallower lookahead, bounded RSS)
+        rather than pinning depth x batch bytes."""
         if not hasattr(self, "_pending_over"):
             from collections import deque
 
             self._pending_over = deque()
+            self._pending_pin_bytes = 0
         rows = int(np.shape(over)[-2]) or 1  # cap = batch/8
         depth = max(2, (1 << 21) // (rows * 8))
+        budget = int(
+            os.environ.get("NGS_OVERFLOW_PIN_MB", 256)
+        ) << 20
         self._pending_over.append((over, n_over, pb))
-        while len(self._pending_over) > depth:
-            self._harvest_overflow(*self._pending_over.popleft())
+        self._pending_pin_bytes += _batch_pin_bytes(pb)
+        while len(self._pending_over) > depth or (
+            self._pending_pin_bytes > budget and len(self._pending_over) > 2
+        ):
+            entry = self._pending_over.popleft()
+            self._pending_pin_bytes -= _batch_pin_bytes(entry[2])
+            self._harvest_overflow(*entry)
 
     def _harvest_overflow(self, over, n_over, pb=None) -> None:
         """Exact host classification of probe-overflow triples: slots
@@ -861,6 +887,7 @@ class CountAccumulator:
         pend = getattr(self, "_pending_over", None)
         while pend:
             self._harvest_overflow(*pend.popleft())
+        self._pending_pin_bytes = 0
 
     def _harvest_keyed(self, out) -> None:
         plan = self.plan
@@ -1350,7 +1377,15 @@ def decode_file(
                 (off, e) for (s, e), off in zip(ckpt_ranges, frontier)
             ]
         elif checkpointing:
-            ckpt_ranges = plan_ranges(config.fastq, config.threads)
+            # start= covers offset-style resumes (single-reader or
+            # round-2-era checkpoints): the plan splits the REMAINDER
+            # [start_offset, size) across the pool — planning the whole
+            # file here would re-read the checkpointed prefix and
+            # double-count it (and start_offset is ignored by the
+            # generator whenever explicit ranges are passed)
+            ckpt_ranges = plan_ranges(
+                config.fastq, config.threads, start=start_offset
+            )
             if ckpt_ranges is not None:
                 ranges = ckpt_ranges
                 frontier = [s for s, _ in ckpt_ranges]
@@ -1470,11 +1505,12 @@ def _decode_dual_stream(
     stats_lock = threading.Lock()
     totals = [0, 0]
     errors: list[BaseException] = []
+    failed = threading.Event()
 
     def drive(i: int) -> None:
         lane = lanes[i]
         try:
-            while True:
+            while not failed.is_set():
                 with it_lock:
                     pb = next(gen, None)
                 if pb is None:
@@ -1491,6 +1527,9 @@ def _decode_dual_stream(
                         )
         except BaseException as e:  # surfaced after join
             errors.append(e)
+            failed.set()  # stop the other lane promptly
+            with it_lock:
+                gen.close()  # stop the ingest pool (producers check stop)
 
     threads = [
         threading.Thread(target=drive, args=(i,), daemon=True)

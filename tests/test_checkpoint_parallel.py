@@ -62,6 +62,55 @@ def test_plan_ranges_matches_reader_pool(tmp_path, rng, monkeypatch):
     assert plan_ranges(fq + ".gz" if False else "x.fastq.gz", 3) is None
 
 
+def test_offset_checkpoint_resumed_under_range_split(
+    tmp_path, rng, monkeypatch
+):
+    """An offset-style checkpoint (saved by a single-reader run) resumed
+    under a range-splitting config must NOT re-read the checkpointed
+    prefix.  Regression: the resume used to plan full-file ranges and
+    ignore the saved offset, double-counting every checkpointed read."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 2000, rng)
+
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.threads = 3
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+    assert n_full == 2000
+
+    # run A: single reader (no range split), int byte_offset checkpoint
+    cfg.checkpoint_interval_s = 1e-9
+    cfg.threads = 1
+    acc_a = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc_a, limit_batches=5)
+    with np.load(cfg.checkpoint_path, allow_pickle=False) as z:
+        assert "range_offsets" not in z, "expected an offset checkpoint"
+        assert int(z["byte_offset"]) > 0
+        saved_total = int(z["total_reads"])
+    assert 0 < saved_total < 2000
+
+    # resume with a range-splitting pool: plan covers [offset, size)
+    monkeypatch.setenv("NGS_RANGE_MIN_BYTES", "1")
+    cfg.resume = True
+    cfg.threads = 3
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full, "checkpointed prefix was re-read"
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
+    assert acc_b.results_view().per_sample == \
+        acc_full.results_view().per_sample
+
+
 @pytest.mark.parametrize("scheme_text", [None, SCHEME_RANDOM_TEXT])
 def test_parallel_checkpoint_resume_equals_full_run(
     tmp_path, rng, monkeypatch, scheme_text
