@@ -298,3 +298,38 @@ def test_dual_stream_equals_single(tmp_path, rng):
     acc_dual.finalize()
     assert acc_single.results_view().per_sample == \
         acc_dual.results_view().per_sample
+
+
+def test_dual_stream_lane_failure_stops_other_lane(
+    tmp_path, rng, monkeypatch
+):
+    """A failing lane must stop the run promptly: the surviving lane
+    checks the failure flag and the shared ingest generator is closed,
+    instead of decoding the rest of the file before the error surfaces."""
+    import os
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 3000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 256
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    calls = {"n": 0}
+    orig = CountAccumulator.step_packed
+
+    def failing(self, pb):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected lane failure")
+        return orig(self, pb)
+
+    monkeypatch.setattr(CountAccumulator, "step_packed", failing)
+    monkeypatch.setenv("NGS_DUAL_STREAM", "1")
+    acc = CountAccumulator(plan, conv)
+    with pytest.raises(RuntimeError, match="injected lane failure"):
+        decode_file(cfg, plan, scheme, acc)
+    # 3000 reads / 256 = 12 batches; the prompt stop means the surviving
+    # lane processed at most a few more batches, not the whole file
+    assert calls["n"] < 6, f"lane kept running: {calls['n']} step calls"
