@@ -146,12 +146,19 @@ def main():
         n_reads = min(
             n_reads, int(os.environ.get("NGS_BENCH_CPU_READS", 2_000_000))
         )
+        # CPU-tuned pipeline: two count lanes (dual-stream) over 8k-read
+        # batches let the XLA:CPU thread pool overlap two decode chains —
+        # measured 2.9x vs the relay-tuned defaults (229k -> ~670k
+        # reads/s on 4 cores); the wire sort is a wash on CPU
+        os.environ.setdefault("NGS_DUAL_STREAM", "1")
     # 128k reads/batch: per-batch wall time through the relay is
     # super-linear in transfer size, so small batches pipeline ~2.4x
     # better than the 1M-read batches used previously (measured A/B:
     # 2.5-2.8M reads/s at 128k vs 0.98-1.16M at 1M in the same relay
     # phases; direct-attached hardware is far less sensitive)
-    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 17))
+    batch_size = int(os.environ.get(
+        "NGS_BENCH_BATCH", (1 << 13) if claim_error else (1 << 17)
+    ))
     fastq, scheme_path, samples_path, barcodes_path = prepare_inputs(
         workdir, n_reads
     )
