@@ -152,3 +152,33 @@ def test_pallas_build_failure_warns(monkeypatch, tmp_path):
         assert acc._pallas_keyed_step_for(96) is None
     with pytest.warns(RuntimeWarning, match="hashset.*Mosaic"):
         assert acc._pallas_hashset_step_for(96, 1024) is None
+
+
+def test_overflow_pin_budget_harvests_early(monkeypatch):
+    """The replay lookahead must not pin unbounded host memory: once the
+    retained batches exceed NGS_OVERFLOW_PIN_MB, the queue harvests
+    oldest-first down to the budget (keeping a >=2 floor)."""
+    import types
+
+    acc = CountAccumulator.__new__(CountAccumulator)  # isolated queue
+    harvested = []
+    acc._harvest_overflow = lambda over, n_over, pb=None: harvested.append(
+        pb.tag
+    )
+
+    def fake_pb(tag, mb):
+        pb = types.SimpleNamespace(tag=tag)
+        pb.packed = np.zeros(mb << 20, np.uint8)
+        pb.quals = None
+        return pb
+
+    monkeypatch.setenv("NGS_OVERFLOW_PIN_MB", "8")
+    over = np.zeros((1 << 15, 2), np.uint32)  # depth cap stays large
+    n_over = np.zeros(1, np.int32)
+    for i in range(5):
+        acc._push_overflow(over, n_over, fake_pb(i, 3))  # 3MB each
+    # budget 8MB / 3MB each: every push past the 2nd trips the 9MB>8MB
+    # check and harvests the oldest entry down to the 2-entry floor
+    assert harvested == [0, 1, 2]
+    assert len(acc._pending_over) == 2
+    assert acc._pending_pin_bytes == 2 * (3 << 20)
