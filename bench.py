@@ -149,8 +149,11 @@ def main():
         # CPU-tuned pipeline: two count lanes (dual-stream) over 8k-read
         # batches let the XLA:CPU thread pool overlap two decode chains —
         # measured 2.9x vs the relay-tuned defaults (229k -> ~670k
-        # reads/s on 4 cores); the wire sort is a wash on CPU
+        # reads/s on 4 cores); the wire sort is a wash on CPU.  The
+        # 8-lane scan pad drops the 128-lane MXU padding FLOPs the CPU
+        # has no use for (bit-exact; +4%).
         os.environ.setdefault("NGS_DUAL_STREAM", "1")
+        os.environ.setdefault("NGS_SCAN_LANE", "8")
     # 128k reads/batch: per-batch wall time through the relay is
     # super-linear in transfer size, so small batches pipeline ~2.4x
     # better than the 1M-read batches used previously (measured A/B:

@@ -191,6 +191,9 @@ def main(argv: list[str] | None = None) -> int:
                 "NGS_CPU_FALLBACK=1: running on CPU", file=_sys.stderr,
             )
             force_cpu()
+            # drop the TPU-lane scan padding the CPU has no use for
+            # (bit-exact; see ops/decode._scan_lane)
+            _os.environ.setdefault("NGS_SCAN_LANE", "8")
         else:
             print(
                 f"Error: accelerator unavailable after retries: {e}\n"

@@ -35,6 +35,8 @@ a ``[B, L]`` batch of reads:
 
 from __future__ import annotations
 
+import os
+
 from dataclasses import dataclass
 from functools import partial
 
@@ -238,6 +240,18 @@ def make_plan(
 # ---------------------------------------------------------------------------
 
 
+def _scan_lane() -> int:
+    """Column alignment of the scan matmul's offset axis.  128 matches
+    the TPU lane count (any less underfills the MXU/VPU) and stays the
+    default everywhere so the CPU-mesh test suite validates the exact
+    program shape the TPU runs.  XLA:CPU has no lane constraint, and
+    with O typically ~20-40 the 128-pad does 3-6x the real FLOPs — the
+    CPU fallbacks (bench.py claim failure, CLI NGS_CPU_FALLBACK) set
+    NGS_SCAN_LANE=8.  Padded columns are index-masked (offs < O), so
+    any value is bit-exact (tests/test_decode.py lane-equality test)."""
+    return int(os.environ.get("NGS_SCAN_LANE", 128))
+
+
 def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
     """For each read: the regex-match offset (leftmost exact), the repair
     offset (unique best window), and validity flags.
@@ -265,7 +279,7 @@ def scan_offsets(plan: DecodePlan, bases: jnp.ndarray, lengths: jnp.ndarray):
         _scan_matrix,
     )
 
-    O_pad = _round_up(O, 128)
+    O_pad = _round_up(O, _scan_lane())
     w = jnp.asarray(_scan_matrix(plan, L, O, O_pad), jnp.bfloat16)
     out = jnp.dot(x1h, w, preferred_element_type=jnp.float32)
     strict = out[:, :O_pad].astype(jnp.int32)

@@ -295,3 +295,26 @@ def test_lowercase_read_rejected_like_reference(example_scheme, rng):
         assert bool(res["valid"][i]) == (o.outcome == "matched"), (i, o.outcome)
     assert res["valid"][0]
     assert not res["valid"][1]
+
+
+def test_scan_lane_padding_is_bit_exact(example_scheme, rng, monkeypatch):
+    """NGS_SCAN_LANE (the scan matmul's offset-axis padding) must never
+    change results: padded columns are index-masked, so the 8-lane CPU
+    fallback and the 128-lane TPU default classify identically."""
+    reads = gen_reads(rng, example_scheme, 256, err_range=(0, 8))
+    quals = ["I" * len(r) for r in reads]
+
+    results = {}
+    for lane in ("128", "8"):
+        monkeypatch.setenv("NGS_SCAN_LANE", lane)
+        # fresh plan per lane: DecodePlan hashes by identity, so this
+        # forces a re-trace (a shared plan would hit the jit cache and
+        # silently compare the 128-lane program against itself)
+        plan, oracle, conv = build_plan(example_scheme)
+        results[lane] = classify_device(plan, reads, quals)
+    for key in results["128"]:
+        np.testing.assert_array_equal(
+            np.asarray(results["128"][key]),
+            np.asarray(results["8"][key]),
+            err_msg=f"lane padding changed {key}",
+        )
