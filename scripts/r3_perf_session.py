@@ -36,6 +36,24 @@ def log(msg):
     print(f"[r3] {time.strftime('%H:%M:%S')} {msg}", flush=True)
 
 
+def _deadline_check(phase: str) -> None:
+    """Release the chip well before the driver's round-end bench capture
+    (NGS_SESSION_DEADLINE, 'HH:MM' UTC): a session mid-phase at capture
+    time could block the driver's own pool claim."""
+    dl = os.environ.get("NGS_SESSION_DEADLINE", "12:10")
+    try:
+        h, m = (int(x) for x in dl.split(":"))
+    except ValueError:
+        return
+    now = time.gmtime()
+    if (now.tm_hour, now.tm_min) >= (h, m):
+        log(f"deadline {dl} UTC reached before {phase}; releasing chip")
+        RESULTS["deadline_stop_before"] = phase
+        save()
+        log("session done")
+        sys.exit(0)
+
+
 def save():
     with open(os.path.join(ROOT, "R3_SESSION.json"), "w") as f:
         json.dump(RESULTS, f, indent=1)
@@ -359,9 +377,12 @@ def main():
 
     phase_a_link(fastq, scheme)
     phase_a2_dual_dispatch(fastq, scheme)
+    _deadline_check("B")
     phase_b_e2e(fastq, paths)
+    _deadline_check("C")
     phase_c_tb(fastq, paths)
 
+    _deadline_check("D")
     if os.environ.get("NGS_SESSION_TPU_CHECK", "1") == "1":
         log("phase D: tpu_check (full kernel-equality gate)")
         import tpu_check
@@ -372,6 +393,7 @@ def main():
             RESULTS["D_tpu_check_rc"] = int(e.code or 0)
         save()
 
+    _deadline_check("E")
     if os.environ.get("NGS_SESSION_RANDOM", "1") == "1":
         log("phase E: random-mode e2e (BASELINE config 4)")
         import bench_random
