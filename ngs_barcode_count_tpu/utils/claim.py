@@ -120,6 +120,7 @@ def claim_devices_guarded(
     start = time.monotonic()
     delay = first_delay_s
     last = "no attempts made"
+    timeout_s = probe_timeout_s
     for attempt in range(1, max_attempts + 1):
         left = total_budget_s - (time.monotonic() - start)
         if left <= 5:
@@ -128,7 +129,7 @@ def claim_devices_guarded(
             r = subprocess.run(
                 [sys.executable, "-c", _PROBE_SNIPPET],
                 capture_output=True, text=True,
-                timeout=min(probe_timeout_s, left),
+                timeout=min(timeout_s, left),
             )
             if r.returncode == 0 and "CLAIM_PROBE_OK" in r.stdout:
                 if verbose:
@@ -147,7 +148,11 @@ def claim_devices_guarded(
             last = (r.stderr or r.stdout).strip().splitlines() or ["?"]
             last = last[-1][:300]
         except subprocess.TimeoutExpired:
-            last = f"probe timed out after {probe_timeout_s:.0f}s"
+            last = f"probe timed out after {timeout_s:.0f}s"
+            # pool-claim latency varies 1-15+ min day to day, and every
+            # probe subprocess pays a FRESH claim: escalate the timeout
+            # so a healthy-but-slow pool is not misread as down
+            timeout_s = min(timeout_s * 2, 1200)
         if verbose:
             print(
                 f"[claim] probe attempt {attempt}/{max_attempts} failed "

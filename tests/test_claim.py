@@ -139,3 +139,27 @@ def test_guarded_claim_probe_error_retries(monkeypatch):
         cm.claim_devices_guarded(
             max_attempts=2, total_budget_s=100.0, verbose=False
         )
+
+
+def test_guarded_claim_probe_timeout_escalates(monkeypatch):
+    """Probe timeouts escalate (x2 per timed-out attempt, capped): a
+    healthy-but-slow pool (8-15 min claims) must not be misread as down
+    by a fixed short probe window."""
+    import subprocess
+
+    from ngs_barcode_count_tpu.utils import claim as cm
+
+    seen = []
+
+    def fake_run(*a, timeout=None, **k):
+        seen.append(timeout)
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=timeout)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    monkeypatch.setattr(cm.time, "sleep", lambda s: None)
+    with pytest.raises(TimeoutError):
+        cm.claim_devices_guarded(
+            max_attempts=4, total_budget_s=10_000, probe_timeout_s=100,
+            first_delay_s=0.0, verbose=False,
+        )
+    assert seen == [100, 200, 400, 800]
