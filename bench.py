@@ -152,7 +152,7 @@ def main():
         # reads/s on 4 cores); the wire sort is a wash on CPU.  The
         # 8-lane scan pad drops the 128-lane MXU padding FLOPs the CPU
         # has no use for (bit-exact; +4%).
-        os.environ.setdefault("NGS_DUAL_STREAM", "1")
+        os.environ.setdefault("NGS_DUAL_STREAM", "4")
         os.environ.setdefault("NGS_SCAN_LANE", "8")
     # 128k reads/batch: per-batch wall time through the relay is
     # super-linear in transfer size, so small batches pipeline ~2.4x

@@ -1328,13 +1328,15 @@ def decode_file(
             f"Resumed from {config.checkpoint_path}: "
             f"{total_reads:,} reads done, {where}"
         )
-    # NGS_DUAL_STREAM=1: two dispatch threads over two independent count
-    # lanes (merged at the end).  On relay links the dispatch thread
-    # BLOCKS inside each batch's h2d transfer; a second lane overlaps the
-    # Python-side dispatch overhead with the in-flight transfer.  Dense
+    # NGS_DUAL_STREAM=N (>=1, 1 also accepted as "two lanes" for round-2
+    # compatibility): N dispatch threads over N independent count lanes
+    # merged at the end.  On relay links the dispatch thread BLOCKS
+    # inside each batch's h2d transfer; extra lanes overlap the
+    # Python-side dispatch overhead with the in-flight transfer (and on
+    # CPU hosts let the XLA thread pool overlap decode chains).  Dense
     # unsharded runs only; exact (counts and counters add commutatively).
     if (
-        os.environ.get("NGS_DUAL_STREAM") == "1"
+        int(os.environ.get("NGS_DUAL_STREAM", 0) or 0) >= 1
         and use_packed
         and not checkpointing
         and not config.resume
@@ -1479,19 +1481,22 @@ def _decode_dual_stream(
     min_width: int,
     meter,
 ) -> int:
-    """Two dispatch threads, two count lanes, one merge (see decode_file).
+    """N dispatch threads, N count lanes, one merge (see decode_file).
 
     Each thread owns a full CountAccumulator lane, so its jit calls never
     share mutable state; the ingest generator and progress counters sit
-    behind locks.  Lane 2's tensors add into lane 1 at the end — dense
-    counting is order-independent, so the result is bit-identical to the
-    single-stream loop (tested in test_packed_path)."""
+    behind locks.  Extra lanes' tensors add into lane 1 at the end —
+    dense counting is order-independent, so the result is bit-identical
+    to the single-stream loop (tested in test_packed_path)."""
     import threading
 
     from ngs_barcode_count_tpu.io.parallel_ingest import (
         read_fastq_packed_parallel,
     )
 
+    n_lanes = max(int(os.environ.get("NGS_DUAL_STREAM", 1) or 1), 1)
+    if n_lanes == 1:
+        n_lanes = 2  # NGS_DUAL_STREAM=1 means "dual" (round-2 knob)
     gen = read_fastq_packed_parallel(
         config.fastq,
         min_width=min_width,
@@ -1499,11 +1504,12 @@ def _decode_dual_stream(
         with_quals=plan.min_quality > 0.0,
         n_threads=config.threads,
     )
-    lane2 = CountAccumulator(plan, acc.conv)
-    lanes = [acc, lane2]
+    lanes = [acc] + [
+        CountAccumulator(plan, acc.conv) for _ in range(n_lanes - 1)
+    ]
     it_lock = threading.Lock()
     stats_lock = threading.Lock()
-    totals = [0, 0]
+    totals = [0] * n_lanes
     errors: list[BaseException] = []
     failed = threading.Event()
 
@@ -1522,18 +1528,18 @@ def _decode_dual_stream(
                     if config.progress:
                         print(
                             f"Total sequences:             "
-                            f"{totals[0] + totals[1]:,}\r",
+                            f"{sum(totals):,}\r",
                             end="",
                         )
         except BaseException as e:  # surfaced after join
             errors.append(e)
-            failed.set()  # stop the other lane promptly
+            failed.set()  # stop the other lanes promptly
             with it_lock:
                 gen.close()  # stop the ingest pool (producers check stop)
 
     threads = [
         threading.Thread(target=drive, args=(i,), daemon=True)
-        for i in range(2)
+        for i in range(n_lanes)
     ]
     for t in threads:
         t.start()
@@ -1541,10 +1547,11 @@ def _decode_dual_stream(
         t.join()
     if errors:
         raise errors[0]
-    acc.dense_state = acc.dense_state + lane2.dense_state
-    acc.dense_counters = acc.dense_counters + lane2.dense_counters
+    for lane in lanes[1:]:
+        acc.dense_state = acc.dense_state + lane.dense_state
+        acc.dense_counters = acc.dense_counters + lane.dense_counters
     acc._dual_streamed = True  # test hook: the branch really ran
-    return totals[0] + totals[1]
+    return sum(totals)
 
 
 def _enable_compile_cache() -> None:
