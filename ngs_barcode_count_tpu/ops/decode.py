@@ -740,7 +740,7 @@ def _mix32(a, b, c1: int, c2: int):
 
 def random_hashset_step(
     plan: DecodePlan, table, counts, counters, bases, quals, lengths,
-    read_mask, cap: int,
+    read_mask, cap: int, sorted_tail: bool | None = None,
 ):
     """Decode + device hash-set dedup + dense count update.
 
@@ -754,19 +754,43 @@ def random_hashset_step(
     flat = jnp.where(valid, flat, 0)
     ridx = random_base6_index(r["random_codes"])
     return hashset_update(
-        plan, table, counts, counters, r["counters"], valid, flat, ridx, cap
+        plan, table, counts, counters, r["counters"], valid, flat, ridx,
+        cap, sorted_tail,
     )
+
+
+def _dedup_sorted() -> bool:
+    """NGS_DEDUP_SORTED=1: run the probe/insert tail in slot-ascending
+    (sorted) order instead of original row order.  The in-batch dedup
+    sort already exists; staying in the sorted domain (a) drops the
+    scatter that mapped first-occurrence flags back to row order and
+    (b) makes every probe gather/scatter sweep the table in ascending
+    address order — the memory-latency-bound part of the tail (VERDICT
+    r3 weak #2).  Classification stays EXACT either way: same-slot
+    contenders are distinct triples (in-batch repeats were already
+    collapsed), so a different insert placement only moves which slot a
+    triple lands in — lookups scan the whole probe window, and losers
+    still overflow to the exact host path.  Final counts/counters are
+    identical; only table bit layout differs.  Default decided by a
+    hardware A/B (BENCH.md round 4)."""
+    return os.environ.get("NGS_DEDUP_SORTED", "0") == "1"
 
 
 def hashset_update(
     plan: DecodePlan, table, counts, counters, counters_add, valid, flat,
-    ridx, cap: int,
+    ridx, cap: int, sorted_tail: bool | None = None,
 ):
     """The dedup/count tail of random_hashset_step, shared by the XLA
     and Pallas-kernel front ends: in-batch exact dedup (lex sort), the
     linear-probe table update, count scatter, and overflow compaction.
     ``counters_add`` carries the decode front end's error tallies;
-    MATCHED/DUPLICATES are overwritten here from the dedup outcome."""
+    MATCHED/DUPLICATES are overwritten here from the dedup outcome.
+    ``sorted_tail`` (default: NGS_DEDUP_SORTED read at trace time)
+    selects the slot-ascending probe formulation — see _dedup_sorted;
+    jitted callers must thread it as a STATIC arg so toggling the env
+    var retraces."""
+    if sorted_tail is None:
+        sorted_tail = _dedup_sorted()
     S = table.shape[0]
     B = valid.shape[0]
 
@@ -781,14 +805,30 @@ def hashset_update(
 
     # exact in-batch first-occurrence via lexicographic sort on (slot, fp)
     row = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
-    s_slot, s_fp, s_row = jax.lax.sort((slot, fp, row), num_keys=2)
-    run_start = jnp.concatenate(
-        [
-            jnp.ones((1,), bool),
-            (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1]),
-        ]
-    )
-    first = jnp.zeros(B, bool).at[s_row].set(run_start)
+    if sorted_tail:
+        # carry the payload through the sort and stay in sorted order
+        # for the whole tail (counts/counters/overflow are all
+        # order-independent)
+        slot, fp, _, flat, ridx = jax.lax.sort(
+            (slot, fp, row, flat, ridx), num_keys=2
+        )
+        run_start = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (slot[1:] != slot[:-1]) | (fp[1:] != fp[:-1]),
+            ]
+        )
+        valid = fp != 0
+        first = run_start
+    else:
+        s_slot, s_fp, s_row = jax.lax.sort((slot, fp, row), num_keys=2)
+        run_start = jnp.concatenate(
+            [
+                jnp.ones((1,), bool),
+                (s_slot[1:] != s_slot[:-1]) | (s_fp[1:] != s_fp[:-1]),
+            ]
+        )
+        first = jnp.zeros(B, bool).at[s_row].set(run_start)
     resolved_dup = valid & ~first
     active = valid & first
     is_new = jnp.zeros(B, bool)
@@ -827,21 +867,22 @@ def hashset_update(
     return table, counts, counters, over_rows, n_over[None]
 
 
-@partial(jax.jit, static_argnums=(0, 8), donate_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(1, 2, 3))
 def random_hashset_step_unpacked(
     plan: DecodePlan, table, counts, counters, bases, quals, lengths,
-    read_mask, cap: int,
+    read_mask, cap: int, sorted_tail: bool = False,
 ):
     """Jitted entry for the int8 (NumPy-ingest fallback) path."""
     return random_hashset_step(
-        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
+        plan, table, counts, counters, bases, quals, lengths, read_mask,
+        cap, sorted_tail,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 8, 9, 11), donate_argnums=(1, 2, 3))
 def random_hashset_step_packed(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
-    exc_val, width: int, cap: int, n_reads,
+    exc_val, width: int, cap: int, n_reads, sorted_tail: bool = False,
 ):
     """Wire-format variant of random_hashset_step (no quality gate)."""
     B = packed.shape[0]
@@ -852,14 +893,16 @@ def random_hashset_step_packed(
     )
     quals = jnp.zeros((B, 1), jnp.int8)
     return random_hashset_step(
-        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
+        plan, table, counts, counters, bases, quals, lengths, read_mask,
+        cap, sorted_tail,
     )
 
 
-@partial(jax.jit, static_argnums=(0, 9, 10), donate_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(0, 9, 10, 12), donate_argnums=(1, 2, 3))
 def random_hashset_step_packed_q(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
     exc_val, quals, width: int, cap: int, n_reads,
+    sorted_tail: bool = False,
 ):
     B = packed.shape[0]
     bases = unpack_bases(packed, exc_idx, exc_val, width)
@@ -868,7 +911,8 @@ def random_hashset_step_packed_q(
         < n_reads[0]
     )
     return random_hashset_step(
-        plan, table, counts, counters, bases, quals, lengths, read_mask, cap
+        plan, table, counts, counters, bases, quals, lengths, read_mask,
+        cap, sorted_tail,
     )
 
 

@@ -1087,7 +1087,11 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     shared, so table/counts/counters/overflow stay bit-identical)."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("hashset", id(plan), width, cap, TB, _variant_key())
+    from ngs_barcode_count_tpu.ops.decode import _dedup_sorted
+
+    sorted_tail = _dedup_sorted()
+    key = ("hashset", id(plan), width, cap, TB, _variant_key(),
+           sorted_tail)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1122,7 +1126,7 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
         valid, flat, ridx = wire_hashset_inputs(plan, wire)
         return hashset_update(
             plan, table, counts, counters, _counters_add(status),
-            valid, flat, ridx, cap,
+            valid, flat, ridx, cap, sorted_tail,
         )
 
     if with_quals:

@@ -519,13 +519,14 @@ class CountAccumulator:
                     plan, self.hashset, self.dense_state,
                     self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
                     pb.exc_val, pb.quals, pb.width, cap, n,
+                    dec._dedup_sorted(),
                 )
             else:
                 (self.hashset, self.dense_state, self.dense_counters,
                  over, n_over) = dec.random_hashset_step_packed(
                     plan, self.hashset, self.dense_state,
                     self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
-                    pb.exc_val, pb.width, cap, n,
+                    pb.exc_val, pb.width, cap, n, dec._dedup_sorted(),
                 )
             self._push_overflow(over, n_over, pb)
             return
@@ -717,7 +718,7 @@ class CountAccumulator:
                 dec.random_hashset_step_unpacked(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.bases, pb.quals, pb.lengths, pb.read_mask,
-                    pb.bases.shape[0],
+                    pb.bases.shape[0], dec._dedup_sorted(),
                 )
             )
             return np.asarray(over), np.asarray(n_over).reshape(-1)
@@ -749,7 +750,7 @@ class CountAccumulator:
                 dec.random_hashset_step_packed_q(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
-                    pb.quals, pb.width, B, n,
+                    pb.quals, pb.width, B, n, dec._dedup_sorted(),
                 )
             )
         else:
@@ -757,7 +758,7 @@ class CountAccumulator:
                 dec.random_hashset_step_packed(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
-                    pb.width, B, n,
+                    pb.width, B, n, dec._dedup_sorted(),
                 )
             )
         return np.asarray(over), np.asarray(n_over).reshape(-1)
@@ -774,7 +775,7 @@ class CountAccumulator:
              over, n_over) = dec.random_hashset_step_unpacked(
                 plan, self.hashset, self.dense_state, self.dense_counters,
                 batch.bases, batch.quals, batch.lengths, batch.read_mask,
-                cap,
+                cap, dec._dedup_sorted(),
             )
             self._push_overflow(over, n_over, batch)
             return

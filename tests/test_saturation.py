@@ -182,3 +182,31 @@ def test_overflow_pin_budget_harvests_early(monkeypatch):
     assert harvested == [0, 1, 2]
     assert len(acc._pending_over) == 2
     assert acc._pending_pin_bytes == 2 * (3 << 20)
+
+
+@pytest.mark.parametrize("slots", ["64", "65536"])
+def test_sorted_probe_tail_exact(tmp_path, rng, monkeypatch, slots):
+    """NGS_DEDUP_SORTED=1 (slot-ascending probe tail, round-4 perf
+    variant) must classify identically to the host keyed+dedup path —
+    with a saturating 64-slot table (overflow/replay path) and with a
+    comfortable table (pure probe path).  Table BIT layout may differ
+    from the row-order formulation; counts/counters must not."""
+    paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 2048
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", slots)
+    monkeypatch.setenv("NGS_DEDUP_SORTED", "1")
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc = CountAccumulator(plan, conv)
+    assert acc.hashset is not None
+    n = decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    assert n == 3000
+
+    acc_host, n_host = _host_keyed_reference(cfg, plan, scheme, conv)
+    np.testing.assert_array_equal(
+        acc.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc.results_view().per_sample == acc_host.results_view().per_sample
