@@ -64,9 +64,22 @@ def save(path: str, acc, byte_offset, total_reads: int,
     else:
         state["byte_offset"] = np.int64(byte_offset)
     if acc.dense_state is not None:
-        state["counts"] = np.asarray(acc.dense_state)
-        state["counters"] = np.asarray(acc.dense_counters)
+        counts, counters = acc.dense_state, acc.dense_counters
+        engine = getattr(acc, "engine", None) or getattr(
+            acc, "hashset_engine", None
+        )
+        if engine is not None:
+            # sharded [n_data, ...] state: snapshot the CANONICAL merged
+            # tensors (engine.merge is a non-destructive psum), so the
+            # checkpoint is topology-independent — resume re-embeds it
+            # into whatever mesh the new run uses (load below).
+            counts, counters = engine.merge(counts, counters)
+        state["counts"] = np.asarray(counts)
+        state["counters"] = np.asarray(counters)
     if getattr(acc, "hashset", None) is not None:
+        # single-device: [S] uint32; sharded engine: [n_data, S_local]
+        # (global slot = rank * S_local + local, so the layout is tied
+        # to the mesh size — load validates the shape).
         state["hash_table"] = np.asarray(acc.hashset)
         blob = {
             "overflow_seen": np.fromiter(
@@ -86,6 +99,9 @@ def save(path: str, acc, byte_offset, total_reads: int,
             "dedup_keys": (
                 acc.dedup.export_keys() if acc.dedup is not None else None
             ),
+            # multi-host random (triple) mode: valid-read tally whose
+            # cross-host sum feeds the flush-time duplicate count
+            "triple_valid": getattr(acc, "triple_valid", 0),
         }
         state["keyed_pickle"] = np.frombuffer(
             pickle.dumps(blob), dtype=np.uint8
@@ -115,8 +131,32 @@ def load(path: str, acc, fingerprint: str):
         if "counts" in z:
             import jax.numpy as jnp
 
-            acc.dense_state = jnp.asarray(z["counts"])
-            acc.dense_counters = jnp.asarray(z["counters"])
+            engine = getattr(acc, "engine", None) or getattr(
+                acc, "hashset_engine", None
+            )
+            if engine is not None:
+                # canonical merged tensors -> sharded layout: embed into
+                # data-rank 0 with zeros elsewhere (engine.merge sums
+                # over the axis, so the restored global state is exact
+                # for ANY mesh size)
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(engine.mesh, P("data", None))
+                c = np.zeros(
+                    (engine.n_data,) + z["counts"].shape, z["counts"].dtype
+                )
+                c[0] = z["counts"]
+                k = np.zeros(
+                    (engine.n_data,) + z["counters"].shape,
+                    z["counters"].dtype,
+                )
+                k[0] = z["counters"]
+                acc.dense_state = jax.device_put(c, sh)
+                acc.dense_counters = jax.device_put(k, sh)
+            else:
+                acc.dense_state = jnp.asarray(z["counts"])
+                acc.dense_counters = jnp.asarray(z["counters"])
         if "hash_table" in z:
             import jax.numpy as jnp
 
@@ -128,12 +168,23 @@ def load(path: str, acc, fingerprint: str):
                 )
             if z["hash_table"].shape != tuple(acc.hashset.shape):
                 raise ValueError(
-                    "checkpointed dedup table has "
-                    f"{z['hash_table'].shape[0]} slots but this run uses "
-                    f"{acc.hashset.shape[0]} (NGS_DEDUP_TABLE_SLOTS "
-                    "changed)"
+                    "checkpointed dedup table shape "
+                    f"{z['hash_table'].shape} does not match this run's "
+                    f"{tuple(acc.hashset.shape)} (NGS_DEDUP_TABLE_SLOTS "
+                    "or the device-mesh size changed)"
                 )
-            acc.hashset = jnp.asarray(z["hash_table"])
+            if getattr(acc, "hashset_engine", None) is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                acc.hashset = jax.device_put(
+                    z["hash_table"],
+                    NamedSharding(
+                        acc.hashset_engine.mesh, P("data", None)
+                    ),
+                )
+            else:
+                acc.hashset = jnp.asarray(z["hash_table"])
             blob = pickle.loads(bytes(z["hashset_pickle"]))
             acc._overflow_seen = set(blob["overflow_seen"].tolist())
             acc._overflow_counts = dict(blob["overflow_counts"])
@@ -144,4 +195,6 @@ def load(path: str, acc, fingerprint: str):
             acc.seq_errors.counters = blob["host_counters"]
             if acc.dedup is not None and blob["dedup_keys"] is not None:
                 acc.dedup.import_keys(blob["dedup_keys"])
+            if getattr(acc, "triple_mode", False):
+                acc.triple_valid = int(blob.get("triple_valid", 0))
     return byte_offset, total_reads

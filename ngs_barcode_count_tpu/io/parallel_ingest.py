@@ -78,7 +78,8 @@ def _sort_batch_rows(pb: PackedReads) -> None:
 
 
 def plan_ranges(
-    path: str, n_threads: int = 0, start: int = 0
+    path: str, n_threads: int = 0, start: int = 0,
+    end: int | None = None,
 ) -> list[tuple[int, int]] | None:
     """The byte ranges read_fastq_packed_parallel would use for this
     file (from record-aligned byte ``start``), or None when it would
@@ -87,14 +88,16 @@ def plan_ranges(
     the generator itself plans through it, checkpointing runs call it
     up front so the saved frontier (one offset per range) matches the
     reader pool exactly, and offset-style resumes plan the remainder
-    [start, size) so they keep the full reader pool."""
+    [start, size) so they keep the full reader pool.  ``end`` bounds
+    the plan to [start, end) — the per-host slice of a multi-host
+    run's checkpointing frontier."""
     if n_threads <= 0:
         n_threads = int(
             os.environ.get("NGS_INGEST_THREADS", 0)
         ) or min(4, os.cpu_count() or 1)
     if path.endswith(".gz"):
         return None
-    size = os.path.getsize(path)
+    size = os.path.getsize(path) if end is None else end
     if size - start < _range_min_bytes() or n_threads == 1:
         return None
     ranges = [

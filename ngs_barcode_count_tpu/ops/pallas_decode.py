@@ -62,15 +62,21 @@ def _split_mm() -> bool:
 def _mm_dtype():
     """Matmul operand dtype for the one-hot products.  Default bf16
     (exact for 0/1/-3 operands under f32 accumulation).
-    NGS_KERNEL_I8MM=1 switches to int8 operands with int32 accumulation
-    — pure integer arithmetic (also exact) at the MXU's 2x int8 rate,
-    if Mosaic lowers it well (perf experiment, A/B'd on hardware)."""
+    NGS_KERNEL_I8MM=1 switches to an int8-NATIVE pipeline: int8 tile
+    loads/compares/realign (4x denser VPU lanes than the f32 front
+    end) and int8 MXU operands with int32 accumulation (2x MXU rate)
+    — pure integer arithmetic, also exact (A/B'd on hardware)."""
     import os
 
     return (
         jnp.int8 if os.environ.get("NGS_KERNEL_I8MM") == "1"
         else jnp.bfloat16
     )
+
+
+def _i8_native() -> bool:
+    """int8-native front end (see _mm_dtype)."""
+    return _mm_dtype() == jnp.int8
 
 
 def _packed_scan() -> bool:
@@ -100,20 +106,21 @@ def _onehot_dot(src, w_ref, L: int, n_cls: int = 5, is_n=None):
     """dot(one_hot(src), W) in the configured formulation: fused
     [TB, n_cls*L] build + one matmul (default) or n_cls separate
     [TB, L] x [L, C] matmuls summed (split_mm), with bf16 or int8
-    operands (_mm_dtype).  ``is_n`` (read-N mask, already cast) folds
-    max(onehot, is_n) into base classes 0..3 and is class 4 itself,
-    matching _kernel_match's encoding; None = plain equality one-hot
-    (the scan matmul).  Every variant computes the same exact integer
-    counts."""
+    operands (_mm_dtype).  ``is_n`` (BOOL read-N mask) ORs into base
+    classes 0..3 and is class 4 itself, matching _kernel_match's
+    encoding; None = plain equality one-hot (the scan matmul).  Every
+    variant computes the same exact integer counts.  (The OR runs on
+    bools before the cast: an int8 jnp.maximum formulation hit a
+    Mosaic legalization failure on arith.maxsi — hardware A/B r4.)"""
     dt = _mm_dtype()
     acc_t = jnp.int32 if dt == jnp.int8 else jnp.float32
     if is_n is None:
         blocks = [(src == c).astype(dt) for c in range(n_cls)]
     else:
         blocks = [
-            jnp.maximum((src == c).astype(dt), is_n) for c in range(4)
+            ((src == c) | is_n).astype(dt) for c in range(4)
         ]
-        blocks.append(is_n)
+        blocks.append(is_n.astype(dt))
     if not _split_mm():
         m_in = jnp.concatenate(blocks, axis=1)
         return jnp.dot(m_in, w_ref[...], preferred_element_type=acc_t)
@@ -302,7 +309,7 @@ def _kernel_match_all(R, w_all_ref, metas, F, TB):
     unaligned slice + concat per slot before).  Semantics identical to
     _kernel_match per slot (parse.rs:553-593).  Yields (idx, ok) in
     metas order."""
-    is_n = (R == dna.N).astype(_mm_dtype())
+    is_n = R == dna.N
     matches = _onehot_dot(R, w_all_ref, F, is_n=is_n).astype(
         jnp.int32
     )  # [TB, C_all]
@@ -571,7 +578,7 @@ def _kernel_quality_gate(plan, qualsf, o_idx, O, offset, has_exact,
 def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
     """Tie-drop Hamming argmin of realigned slot codes against one
     candidate matrix (parse.rs:553-593).  Returns (idx, ok) [TB, 1]."""
-    is_n = (r == dna.N).astype(_mm_dtype())
+    is_n = r == dna.N
     matches = _onehot_dot(r, w_ref, sl, is_n=is_n).astype(jnp.int32)
     cand_col = jax.lax.broadcasted_iota(jnp.int32, (TB, nc_pad), 1)
     m = jnp.where(cand_col < nc, sl - matches, _BIG)
@@ -637,7 +644,12 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         flat_ref, status_ref = refs[n_mats:]
 
         tile = pl.program_id(0)
-        basesf = bases_ref[...].astype(jnp.float32)  # [TB, L]
+        # int8-native variant keeps the whole front end (compares,
+        # realign shifter) on int8 lanes — 4x the VPU density of f32
+        basesf = (
+            bases_ref[...] if _i8_native()
+            else bases_ref[...].astype(jnp.float32)
+        )  # [TB, L]
         lengths = lengths_ref[...]  # [TB, 1] int32
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]  # [TB, 1]
@@ -928,7 +940,10 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         wire_ref, status_ref = refs[n_word_refs:]
 
         tile = pl.program_id(0)
-        basesf = bases_ref[...].astype(jnp.float32)
+        basesf = (
+            bases_ref[...] if _i8_native()
+            else bases_ref[...].astype(jnp.float32)
+        )
         lengths = lengths_ref[...]
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]

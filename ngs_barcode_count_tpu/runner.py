@@ -1286,36 +1286,54 @@ def decode_file(
         and native_ok
         and max(scheme_slots) <= 21
     )
-    checkpointing = config.checkpoint_interval_s > 0 and byte_range is None and (
-        (
-            use_packed
-            and acc.bitmap is None
-            # sharded state shapes are mesh-dependent: no checkpointing
-            and acc.engine is None
-            and acc.hashset_engine is None
-        )
-        or use_packed_keyed
-    )
+    # Checkpointing covers every wire-format configuration (round 4):
+    # single-device dense/keyed/hashset, the sharded mesh engines
+    # (snapshot = merged canonical tensors, checkpoint.py), and
+    # multi-host byte-range runs (one file per host, each host resuming
+    # its own frontier).  Only the bytemap (up to 2GB of dedup state)
+    # and gzip byte-range ingest (no per-range frontier) stay excluded.
+    checkpointing = config.checkpoint_interval_s > 0 and (
+        (use_packed and acc.bitmap is None) or use_packed_keyed
+    ) and not (byte_range is not None and config.fastq.endswith(".gz"))
     if byte_range is not None and not native_ok:
         raise RuntimeError(
             "byte-range (multi-host) ingest requires the native codec"
         )
+    # per-host checkpoint file + a fingerprint that pins the host count
+    # and this host's byte range (resuming with a different host count
+    # would reassign ranges and double- or under-count)
+    ckpt_path = config.checkpoint_path
+    fp_tag = ""
+    if byte_range is not None:
+        import jax
+
+        ckpt_path = f"{config.checkpoint_path}.h{jax.process_index()}"
+        fp_tag = (
+            f"|hosts={jax.process_count()}:{jax.process_index()}"
+            f"|range={byte_range[0]}-{byte_range[1]}"
+        )
     start_offset = 0
     resume_ranges = None  # (ranges, offsets) from a parallel-ingest ckpt
     if config.resume:
-        if byte_range is not None:
-            raise ValueError("resume is not supported on multi-host runs")
         if not (use_packed or use_packed_keyed):
             raise ValueError(
                 "resume requires the native wire-format path "
                 "(plain fastq, single device)"
             )
+        if byte_range is not None and config.fastq.endswith(".gz"):
+            raise ValueError(
+                "multi-host resume requires a plain (uncompressed) FASTQ"
+            )
         from ngs_barcode_count_tpu import checkpoint as ckpt
 
-        fp = ckpt.config_fingerprint(config)
-        resume_point, total_reads = ckpt.load(
-            config.checkpoint_path, acc, fp
-        )
+        if byte_range is not None and not os.path.exists(ckpt_path):
+            # this host never reached a snapshot (fast/empty range):
+            # fresh start over its own range is exact — its state and
+            # frontier are an atomic pair, both empty here
+            resume_point, total_reads = byte_range[0], 0
+        else:
+            fp = ckpt.config_fingerprint(config) + fp_tag
+            resume_point, total_reads = ckpt.load(ckpt_path, acc, fp)
         if isinstance(resume_point, tuple):
             resume_ranges = resume_point
             where = (
@@ -1326,7 +1344,7 @@ def decode_file(
             start_offset = resume_point
             where = f"offset {start_offset}"
         print(
-            f"Resumed from {config.checkpoint_path}: "
+            f"Resumed from {ckpt_path}: "
             f"{total_reads:,} reads done, {where}"
         )
     # NGS_DUAL_STREAM=N (>=1, 1 also accepted as "two lanes" for round-2
@@ -1358,7 +1376,10 @@ def decode_file(
             read_fastq_packed_parallel,
         )
 
-        fp = ckpt.config_fingerprint(config) if checkpointing else ""
+        fp = (
+            ckpt.config_fingerprint(config) + fp_tag if checkpointing
+            else ""
+        )
         last_ckpt = time.perf_counter()
         step_fn = acc.step_packed if use_packed else acc.step_packed_keyed
         # Checkpointing keeps ALL T parallel readers (round 2 forced a
@@ -1385,13 +1406,24 @@ def decode_file(
             # [start_offset, size) across the pool — planning the whole
             # file here would re-read the checkpointed prefix and
             # double-count it (and start_offset is ignored by the
-            # generator whenever explicit ranges are passed)
-            ckpt_ranges = plan_ranges(
-                config.fastq, config.threads, start=start_offset
-            )
-            if ckpt_ranges is not None:
+            # generator whenever explicit ranges are passed).  Multi-host
+            # runs plan inside THIS host's byte range so the per-range
+            # frontier machinery works unchanged.
+            if byte_range is not None:
+                ckpt_ranges = plan_ranges(
+                    config.fastq, config.threads,
+                    start=byte_range[0], end=byte_range[1],
+                ) or ([byte_range] if byte_range[1] > byte_range[0]
+                      else [])
+            else:
+                ckpt_ranges = plan_ranges(
+                    config.fastq, config.threads, start=start_offset
+                )
+            if ckpt_ranges:
                 ranges = ckpt_ranges
                 frontier = [s for s, _ in ckpt_ranges]
+            else:
+                ckpt_ranges = None
         clean = [True] * (len(ckpt_ranges) if ckpt_ranges else 1)
         single_off = start_offset
         for pb in read_fastq_packed_parallel(
@@ -1430,7 +1462,7 @@ def decode_file(
                     # saved frontier exactly
                     acc.flush_pending()
                     ckpt.save(
-                        config.checkpoint_path, acc,
+                        ckpt_path, acc,
                         frontier if frontier is not None else single_off,
                         total_reads, fp, ranges=ckpt_ranges,
                     )
