@@ -947,6 +947,18 @@ def pack_slot_words(codes: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@partial(jax.jit, static_argnums=2)
+def unpack_quals_wire(quals_packed, codebook, width: int):
+    """[B, W/2] uint8 4-bit quality wire + [16] int8 codebook ->
+    [B, W] int8 Phred, bit-identical to the raw tensor the codec would
+    have shipped (io.parallel_ingest._maybe_pack_quals)."""
+    B = quals_packed.shape[0]
+    lo = (quals_packed & 15).astype(jnp.int32)
+    hi = ((quals_packed >> 4) & 15).astype(jnp.int32)
+    codes = jnp.stack([lo, hi], axis=-1).reshape(B, -1)[:, :width]
+    return codebook[codes]
+
+
 def unpack_bases(packed, exc_idx, exc_val, width: int):
     """[B, W/4] uint8 wire format -> [B, W] int8 base codes.
 

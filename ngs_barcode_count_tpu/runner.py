@@ -418,13 +418,31 @@ class CountAccumulator:
         compression-friendly layout; the device-side transpose is a
         ~0.1ms copy."""
         if not getattr(pb, "transposed", False):
+            self._unpack_quals(pb)
             return
         if not hasattr(self, "_untranspose_fn"):
             import jax
 
             self._untranspose_fn = jax.jit(lambda p: p.T)
         pb.packed = self._untranspose_fn(pb.packed)
+        if getattr(pb, "quals_packed", None) is not None:
+            pb.quals_packed = self._untranspose_fn(pb.quals_packed)
         pb.transposed = False
+        self._unpack_quals(pb)
+
+    def _unpack_quals(self, pb) -> None:
+        """4-bit quality wire -> the raw [B, W] int8 Phred tensor ON
+        DEVICE (one tiny jit; the codebook gather reconstructs the
+        identical tensor, so every downstream path — Pallas, XLA,
+        engines, shardings — is unchanged).  The wire saving already
+        happened: quals_packed crossed the link at 4 bits/base."""
+        if getattr(pb, "quals_packed", None) is None:
+            return
+        pb.quals = dec.unpack_quals_wire(
+            pb.quals_packed, pb.qual_codebook, pb.width
+        )
+        pb.quals_packed = None
+        pb.qual_codebook = None
 
     def _lengths_dev(self, lengths: np.ndarray):
         """Illumina batches usually have one uniform read length: cache

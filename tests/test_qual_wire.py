@@ -1,0 +1,162 @@
+"""Lossless 4-bit Phred wire (VERDICT r3 weak #4): the per-batch
+codebook packing must reconstruct the exact int8 tensor, fall back to
+raw beyond 16 distinct values, and leave every quality-gated engine's
+results bit-identical."""
+
+import numpy as np
+import pytest
+
+from ngs_barcode_count_tpu.io import native
+from ngs_barcode_count_tpu.io.parallel_ingest import _maybe_pack_quals
+from ngs_barcode_count_tpu.io.native import PackedReads
+from ngs_barcode_count_tpu.ops.decode import unpack_quals_wire
+from ngs_barcode_count_tpu.runner import CountAccumulator, decode_file, setup
+
+from tests.test_end_to_end import gen_fastq, write_inputs, _mk_config
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native codec not built"
+)
+
+
+def _pb_with_quals(q):
+    B, W = q.shape
+    return PackedReads(
+        packed=np.zeros((B, W // 4), np.uint8),
+        lengths=np.full(B, W, np.int16),
+        exc_idx=np.full(64, -1, np.int32),
+        exc_val=np.zeros(64, np.int8),
+        quals=q, n_reads=B, width=W,
+    )
+
+
+@pytest.mark.parametrize("n_vals", [1, 4, 8, 16])
+def test_qual_pack_roundtrip(rng, n_vals):
+    vals = np.sort(rng.choice(64, size=n_vals, replace=False)).astype(
+        np.int8
+    )
+    q = vals[rng.integers(0, n_vals, (256, 64))]
+    pb = _pb_with_quals(q.copy())
+    _maybe_pack_quals(pb)
+    assert pb.quals is None and pb.quals_packed is not None
+    assert pb.quals_packed.shape == (256, 32)
+    out = np.asarray(unpack_quals_wire(
+        pb.quals_packed, pb.qual_codebook, 64
+    ))
+    np.testing.assert_array_equal(out, q)
+
+
+def test_qual_pack_raw_fallback(rng):
+    q = rng.integers(0, 40, (64, 32)).astype(np.int8)  # >16 distinct
+    assert len(np.unique(q)) > 16
+    pb = _pb_with_quals(q)
+    _maybe_pack_quals(pb)
+    assert pb.quals is not None and pb.quals_packed is None
+
+
+def test_qual_pack_disabled_env(rng, monkeypatch):
+    monkeypatch.setenv("NGS_QUAL_WIRE", "raw")
+    q = np.full((64, 32), 30, np.int8)
+    pb = _pb_with_quals(q)
+    _maybe_pack_quals(pb)
+    assert pb.quals is not None and pb.quals_packed is None
+
+
+def _counters_and_view(cfg, env, monkeypatch, n_devices=1):
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv, n_devices=n_devices)
+    n = decode_file(cfg, plan, scheme, acc, n_devices=n_devices)
+    acc.finalize()
+    return n, acc.seq_errors.counters.copy(), acc.results_view().per_sample
+
+
+@pytest.mark.parametrize("scheme_kw", ["dense", "random"])
+def test_qual_wire_e2e_bit_identical(tmp_path, rng, monkeypatch, scheme_kw):
+    """Quality-gated runs with the packed quality wire equal raw-wire
+    runs exactly — dense mode and random (bitmap) mode.  Binned Phred
+    (8 values, RTA-style) so the packing engages."""
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT
+
+    if scheme_kw == "random":
+        paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    else:
+        paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 800, rng, quality_range=(10, 41),
+    )
+    # rebin to 8 RTA-style values so the 4-bit wire engages
+    binned = []
+    levels = np.array([2, 12, 17, 22, 27, 32, 37, 40])
+    for q in quals:
+        arr = np.frombuffer(q.encode(), np.uint8) - 33
+        idx = np.clip((arr // 5), 0, 7)
+        binned.append(
+            "".join(chr(int(levels[i]) + 33) for i in idx)
+        )
+    from ngs_barcode_count_tpu.utils import simulate
+
+    simulate.write_fastq(fq, reads, binned)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    n2, c2, v2 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "pack"},
+                                    monkeypatch)
+    assert n1 == n2 == 800
+    np.testing.assert_array_equal(c1, c2)
+    assert v1 == v2
+    assert c1[-1] > 0 or c1[5] > 0  # the gate actually fired somewhere
+
+
+def test_qual_wire_col_major_roundtrip(tmp_path, rng, monkeypatch):
+    """Col-major wire layout transposes the quality nibbles too; the
+    device untranspose + unpack must reconstruct exactly (the full
+    sorted+transposed+packed pipeline vs raw)."""
+    monkeypatch.setenv("NGS_WIRE_LAYOUT", "col")
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 500, rng, quality_range=(30, 38),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 33.0
+
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    n2, c2, v2 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "pack"},
+                                    monkeypatch)
+    np.testing.assert_array_equal(c1, c2)
+    assert v1 == v2
+
+
+def test_qual_wire_sharded_engine(tmp_path, rng, monkeypatch):
+    """Packed quality through the 8-device sharded dense engine."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 512, rng, quality_range=(30, 38),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 33.0
+    n1, c1, v1 = _counters_and_view(
+        cfg, {"NGS_QUAL_WIRE": "raw"}, monkeypatch, n_devices=8
+    )
+    n2, c2, v2 = _counters_and_view(
+        cfg, {"NGS_QUAL_WIRE": "pack"}, monkeypatch, n_devices=8
+    )
+    np.testing.assert_array_equal(c1, c2)
+    assert v1 == v2
