@@ -740,7 +740,7 @@ def _mix32(a, b, c1: int, c2: int):
 
 def random_hashset_step(
     plan: DecodePlan, table, counts, counters, bases, quals, lengths,
-    read_mask, cap: int, sorted_tail: bool | None = None,
+    read_mask, cap: int, variant: str | None = None,
 ):
     """Decode + device hash-set dedup + dense count update.
 
@@ -755,7 +755,7 @@ def random_hashset_step(
     ridx = random_base6_index(r["random_codes"])
     return hashset_update(
         plan, table, counts, counters, r["counters"], valid, flat, ridx,
-        cap, sorted_tail,
+        cap, variant,
     )
 
 
@@ -776,21 +776,46 @@ def _dedup_sorted() -> bool:
     return os.environ.get("NGS_DEDUP_SORTED", "0") == "1"
 
 
+def _dedup_windowed() -> bool:
+    """NGS_DEDUP_WINDOWED=1: replace the 4-step sequential probe loop
+    (4 x gather/scatter/gather = 12 dependent HBM ops — measured 91 of
+    the tail's ~142 ns/read on v5e) with ONE [B, 4] window gather for
+    duplicate detection plus two contention-resolved insert rounds
+    (scatter + verify gathers each): ~6 dependent HBM ops.  Exact under
+    the same fp-collision caveat: in-batch repeats were collapsed by
+    the sort, so same-window contenders are distinct triples; a loser
+    retries against the refreshed window and double-losers overflow to
+    the exact host path (slots never free, so later occurrences of an
+    overflowed triple keep overflowing)."""
+    return os.environ.get("NGS_DEDUP_WINDOWED", "0") == "1"
+
+
+def _dedup_variant() -> str:
+    """Static fingerprint of the dedup-tail formulation (threaded into
+    every jitted step as a static arg so env toggles retrace)."""
+    return ("sorted" if _dedup_sorted() else "row") + (
+        "+win" if _dedup_windowed() else ""
+    )
+
+
+
 def hashset_update(
     plan: DecodePlan, table, counts, counters, counters_add, valid, flat,
-    ridx, cap: int, sorted_tail: bool | None = None,
+    ridx, cap: int, variant: str | None = None,
 ):
     """The dedup/count tail of random_hashset_step, shared by the XLA
     and Pallas-kernel front ends: in-batch exact dedup (lex sort), the
     linear-probe table update, count scatter, and overflow compaction.
     ``counters_add`` carries the decode front end's error tallies;
     MATCHED/DUPLICATES are overwritten here from the dedup outcome.
-    ``sorted_tail`` (default: NGS_DEDUP_SORTED read at trace time)
-    selects the slot-ascending probe formulation — see _dedup_sorted;
-    jitted callers must thread it as a STATIC arg so toggling the env
-    var retraces."""
-    if sorted_tail is None:
-        sorted_tail = _dedup_sorted()
+    ``variant`` (default: _dedup_variant() read at trace time) selects
+    the slot-ascending order (_dedup_sorted) and/or the windowed probe
+    formulation (_dedup_windowed); jitted callers must thread it as a
+    STATIC arg so toggling the env vars retraces."""
+    if variant is None:
+        variant = _dedup_variant()
+    sorted_tail = variant.startswith("sorted")
+    windowed = variant.endswith("+win")
     S = table.shape[0]
     B = valid.shape[0]
 
@@ -832,18 +857,49 @@ def hashset_update(
     resolved_dup = valid & ~first
     active = valid & first
     is_new = jnp.zeros(B, bool)
-    for p in range(DEDUP_PROBES):
-        cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
-        t = table.at[cur].get(mode="fill", fill_value=1)
-        hit = active & (t == fp)
+    if windowed:
+        # one [B, 4] window gather decides duplicates (in-batch repeats
+        # are already collapsed, so the pre-insert table is the full
+        # truth for fp hits); inserts resolve contention in two
+        # scatter+verify rounds (losers are rare cross-row collisions)
+        cur4 = jnp.minimum(
+            slot[:, None]
+            + jnp.arange(DEDUP_PROBES, dtype=jnp.int32)[None, :],
+            S,
+        )
+        win = table.at[cur4].get(mode="fill", fill_value=1)
+        hit = active & jnp.any(win == fp[:, None], axis=1)
         resolved_dup = resolved_dup | hit
         active = active & ~hit
-        empty = active & (t == 0)
-        table = table.at[jnp.where(empty, cur, S)].set(fp, mode="drop")
-        t2 = table.at[cur].get(mode="fill", fill_value=1)
-        won = empty & (t2 == fp)
-        is_new = is_new | won
-        active = active & ~won
+        empty = win == 0
+        for rnd in range(2):
+            has_empty = jnp.any(empty, axis=1)
+            first_e = jnp.argmax(empty, axis=1).astype(jnp.int32)
+            want = active & has_empty
+            pos = jnp.minimum(slot + first_e, S)
+            table = table.at[jnp.where(want, pos, S)].set(
+                fp, mode="drop"
+            )
+            got = table.at[pos].get(mode="fill", fill_value=1)
+            won = want & (got == fp)
+            is_new = is_new | won
+            active = active & ~won
+            if rnd == 0:
+                win = table.at[cur4].get(mode="fill", fill_value=1)
+                empty = win == 0
+    else:
+        for p in range(DEDUP_PROBES):
+            cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
+            t = table.at[cur].get(mode="fill", fill_value=1)
+            hit = active & (t == fp)
+            resolved_dup = resolved_dup | hit
+            active = active & ~hit
+            empty = active & (t == 0)
+            table = table.at[jnp.where(empty, cur, S)].set(fp, mode="drop")
+            t2 = table.at[cur].get(mode="fill", fill_value=1)
+            won = empty & (t2 == fp)
+            is_new = is_new | won
+            active = active & ~won
     overflow = active
 
     counts = counts.at[jnp.where(is_new, flat, 0)].add(
@@ -870,19 +926,19 @@ def hashset_update(
 @partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(1, 2, 3))
 def random_hashset_step_unpacked(
     plan: DecodePlan, table, counts, counters, bases, quals, lengths,
-    read_mask, cap: int, sorted_tail: bool = False,
+    read_mask, cap: int, variant: str = "row",
 ):
     """Jitted entry for the int8 (NumPy-ingest fallback) path."""
     return random_hashset_step(
         plan, table, counts, counters, bases, quals, lengths, read_mask,
-        cap, sorted_tail,
+        cap, variant,
     )
 
 
 @partial(jax.jit, static_argnums=(0, 8, 9, 11), donate_argnums=(1, 2, 3))
 def random_hashset_step_packed(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
-    exc_val, width: int, cap: int, n_reads, sorted_tail: bool = False,
+    exc_val, width: int, cap: int, n_reads, variant: str = "row",
 ):
     """Wire-format variant of random_hashset_step (no quality gate)."""
     B = packed.shape[0]
@@ -894,7 +950,7 @@ def random_hashset_step_packed(
     quals = jnp.zeros((B, 1), jnp.int8)
     return random_hashset_step(
         plan, table, counts, counters, bases, quals, lengths, read_mask,
-        cap, sorted_tail,
+        cap, variant,
     )
 
 
@@ -902,7 +958,7 @@ def random_hashset_step_packed(
 def random_hashset_step_packed_q(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
     exc_val, quals, width: int, cap: int, n_reads,
-    sorted_tail: bool = False,
+    variant: str = "row",
 ):
     B = packed.shape[0]
     bases = unpack_bases(packed, exc_idx, exc_val, width)
@@ -912,7 +968,7 @@ def random_hashset_step_packed_q(
     )
     return random_hashset_step(
         plan, table, counts, counters, bases, quals, lengths, read_mask,
-        cap, sorted_tail,
+        cap, variant,
     )
 
 

@@ -62,10 +62,10 @@ def _split_mm() -> bool:
 def _mm_dtype():
     """Matmul operand dtype for the one-hot products.  Default bf16
     (exact for 0/1/-3 operands under f32 accumulation).
-    NGS_KERNEL_I8MM=1 switches to an int8-NATIVE pipeline: int8 tile
-    loads/compares/realign (4x denser VPU lanes than the f32 front
-    end) and int8 MXU operands with int32 accumulation (2x MXU rate)
-    — pure integer arithmetic, also exact (A/B'd on hardware)."""
+    NGS_KERNEL_I8MM=1 switches to int8 operands with int32 accumulation
+    (2x MXU rate) — pure integer arithmetic, also exact (A/B'd on
+    hardware; split from the int8 FRONT END so Mosaic legalization
+    failures can be isolated per stage)."""
     import os
 
     return (
@@ -75,8 +75,12 @@ def _mm_dtype():
 
 
 def _i8_native() -> bool:
-    """int8-native front end (see _mm_dtype)."""
-    return _mm_dtype() == jnp.int8
+    """NGS_KERNEL_I8FRONT=1: keep tile loads, compares, and the realign
+    shifter on int8 lanes (4x the VPU density of the f32 front end);
+    independent of the matmul operand dtype (_mm_dtype)."""
+    import os
+
+    return os.environ.get("NGS_KERNEL_I8FRONT") == "1"
 
 
 def _packed_scan() -> bool:
@@ -99,7 +103,10 @@ def _packed_scan() -> bool:
 
 def _variant_key():
     """Formulation fingerprint for the compiled-step caches."""
-    return (_split_mm(), _mm_dtype() == jnp.int8, _packed_scan())
+    return (
+        _split_mm(), _mm_dtype() == jnp.int8, _packed_scan(),
+        _i8_native(),
+    )
 
 
 def _onehot_dot(src, w_ref, L: int, n_cls: int = 5, is_n=None):
@@ -1102,11 +1109,11 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     shared, so table/counts/counters/overflow stay bit-identical)."""
     if TB is None:
         TB = _auto_tb(plan, width)
-    from ngs_barcode_count_tpu.ops.decode import _dedup_sorted
+    from ngs_barcode_count_tpu.ops.decode import _dedup_variant
 
-    sorted_tail = _dedup_sorted()
+    dedup_variant = _dedup_variant()
     key = ("hashset", id(plan), width, cap, TB, _variant_key(),
-           sorted_tail)
+           dedup_variant)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1141,7 +1148,7 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
         valid, flat, ridx = wire_hashset_inputs(plan, wire)
         return hashset_update(
             plan, table, counts, counters, _counters_add(status),
-            valid, flat, ridx, cap, sorted_tail,
+            valid, flat, ridx, cap, dedup_variant,
         )
 
     if with_quals:

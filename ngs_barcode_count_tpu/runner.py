@@ -537,14 +537,14 @@ class CountAccumulator:
                     plan, self.hashset, self.dense_state,
                     self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
                     pb.exc_val, pb.quals, pb.width, cap, n,
-                    dec._dedup_sorted(),
+                    dec._dedup_variant(),
                 )
             else:
                 (self.hashset, self.dense_state, self.dense_counters,
                  over, n_over) = dec.random_hashset_step_packed(
                     plan, self.hashset, self.dense_state,
                     self.dense_counters, pb.packed, pb.lengths, pb.exc_idx,
-                    pb.exc_val, pb.width, cap, n, dec._dedup_sorted(),
+                    pb.exc_val, pb.width, cap, n, dec._dedup_variant(),
                 )
             self._push_overflow(over, n_over, pb)
             return
@@ -736,7 +736,7 @@ class CountAccumulator:
                 dec.random_hashset_step_unpacked(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.bases, pb.quals, pb.lengths, pb.read_mask,
-                    pb.bases.shape[0], dec._dedup_sorted(),
+                    pb.bases.shape[0], dec._dedup_variant(),
                 )
             )
             return np.asarray(over), np.asarray(n_over).reshape(-1)
@@ -768,7 +768,7 @@ class CountAccumulator:
                 dec.random_hashset_step_packed_q(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
-                    pb.quals, pb.width, B, n, dec._dedup_sorted(),
+                    pb.quals, pb.width, B, n, dec._dedup_variant(),
                 )
             )
         else:
@@ -776,7 +776,7 @@ class CountAccumulator:
                 dec.random_hashset_step_packed(
                     self.plan, self.hashset, self.dense_state, scratch,
                     pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
-                    pb.width, B, n, dec._dedup_sorted(),
+                    pb.width, B, n, dec._dedup_variant(),
                 )
             )
         return np.asarray(over), np.asarray(n_over).reshape(-1)
@@ -793,7 +793,7 @@ class CountAccumulator:
              over, n_over) = dec.random_hashset_step_unpacked(
                 plan, self.hashset, self.dense_state, self.dense_counters,
                 batch.bases, batch.quals, batch.lengths, batch.read_mask,
-                cap, dec._dedup_sorted(),
+                cap, dec._dedup_variant(),
             )
             self._push_overflow(over, n_over, batch)
             return

@@ -185,18 +185,25 @@ def test_overflow_pin_budget_harvests_early(monkeypatch):
 
 
 @pytest.mark.parametrize("slots", ["64", "65536"])
-def test_sorted_probe_tail_exact(tmp_path, rng, monkeypatch, slots):
-    """NGS_DEDUP_SORTED=1 (slot-ascending probe tail, round-4 perf
-    variant) must classify identically to the host keyed+dedup path —
-    with a saturating 64-slot table (overflow/replay path) and with a
-    comfortable table (pure probe path).  Table BIT layout may differ
-    from the row-order formulation; counts/counters must not."""
+@pytest.mark.parametrize("variant", [
+    ("1", "0"), ("0", "1"), ("1", "1"),
+])
+def test_sorted_probe_tail_exact(tmp_path, rng, monkeypatch, slots,
+                                 variant):
+    """The round-4 dedup-tail perf variants (NGS_DEDUP_SORTED
+    slot-ascending order, NGS_DEDUP_WINDOWED one-gather probe window,
+    and their combination) must classify identically to the host
+    keyed+dedup path — with a saturating 64-slot table (overflow/replay
+    path) and with a comfortable table (pure probe path).  Table BIT
+    layout may differ from the row-order formulation; counts/counters
+    must not."""
     paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
     cfg = _mk_config(tmp_path, fq, paths)
     cfg.batch_size = 2048
     monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
     monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", slots)
-    monkeypatch.setenv("NGS_DEDUP_SORTED", "1")
+    monkeypatch.setenv("NGS_DEDUP_SORTED", variant[0])
+    monkeypatch.setenv("NGS_DEDUP_WINDOWED", variant[1])
     scheme, conv, me, plan, _ = setup(cfg)
 
     acc = CountAccumulator(plan, conv)
