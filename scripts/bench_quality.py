@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""BASELINE config 3 benchmark: the dense DEL workload with
+--min-quality 30 (quality-gated decode).  Prints one JSON line (same
+shape as bench.py) and A/Bs the 4-bit Phred wire vs raw in-process.
+
+Quality values are RTA-binned (3 levels), as Illumina basecallers emit,
+so the per-batch codebook wire engages exactly as in production.
+
+Env: NGS_BENCH_READS (default 4M), NGS_BENCH_BATCH, NGS_BENCH_DIR.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+BASELINE_READS_PER_S = 294_000.0
+
+QUAL_LEVELS = np.array([25, 37, 40], np.uint8)  # RTA-style bins
+
+
+def main():
+    n_reads = int(os.environ.get("NGS_BENCH_READS", 4_000_000))
+    batch_size = int(os.environ.get("NGS_BENCH_BATCH", 1 << 17))
+    workdir = os.environ.get("NGS_BENCH_DIR", "/tmp/ngs_bench")
+    os.makedirs(workdir, exist_ok=True)
+
+    from bench import SAMPLES, SCHEME_TEXT, _barcode_sets
+
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator,
+        RunConfig,
+        _enable_compile_cache,
+        decode_file,
+        setup,
+    )
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    rng = np.random.default_rng(2024)
+    scheme = parse_scheme_text(SCHEME_TEXT)
+    sets = _barcode_sets(rng)
+    scheme_path = os.path.join(workdir, "scheme.txt")
+    fastq = os.path.join(workdir, f"bench_q_{n_reads}.fastq")
+    samples_path = os.path.join(workdir, "samples.csv")
+    barcodes_path = os.path.join(workdir, "barcodes.csv")
+    with open(scheme_path, "w") as f:
+        f.write(SCHEME_TEXT)
+    with open(samples_path, "w") as f:
+        f.write("Barcode,Sample_ID\n")
+        for i, s in enumerate(SAMPLES):
+            f.write(f"{s},Sample_{i + 1}\n")
+    with open(barcodes_path, "w") as f:
+        f.write("Barcode,Barcode_ID,Barcode_Number\n")
+        for pos, bset in enumerate(sets, start=1):
+            for j, b in enumerate(bset):
+                f.write(f"{b},BC{pos}_{j},{pos}\n")
+    if not os.path.exists(fastq):
+        left, first = n_reads, True
+        while left > 0:
+            n = min(1_000_000, left)
+            seq, qual = simulate_fast.generate_reads(
+                rng, scheme, n, SAMPLES, sets, sub_error_rate=0.01
+            )
+            # bin to 3 RTA levels: uniform 30..40 -> 25/37/40 (enough
+            # sub-30 mass that the gate really drops reads)
+            q = qual - 33
+            binned = np.where(
+                q < 34, QUAL_LEVELS[0],
+                np.where(q < 38, QUAL_LEVELS[1], QUAL_LEVELS[2]),
+            ).astype(np.uint8) + 33
+            simulate_fast.write_fastq_bytes(
+                fastq, seq, binned, append=not first
+            )
+            first = False
+            left -= n
+
+    _enable_compile_cache()
+    cfg = RunConfig(
+        fastq=fastq, format=scheme_path,
+        sample_barcodes_option=samples_path,
+        counted_barcodes_option=barcodes_path,
+        output_dir=workdir, prefix="bench_q",
+        batch_size=batch_size, progress=False,
+        min_average_quality_score=30.0,
+    )
+    scheme, conv, me, plan, _ = setup(cfg)
+    assert plan.min_quality > 0
+
+    # warmup (claim + compile) for both wire modes
+    results = {}
+    counters = {}
+    for mode in ("pack", "raw"):
+        os.environ["NGS_QUAL_WIRE"] = mode
+        acc0 = CountAccumulator(plan, conv)
+        decode_file(cfg, plan, scheme, acc0, limit_batches=2)
+        acc0.finalize()
+    for mode in ("pack", "raw"):
+        os.environ["NGS_QUAL_WIRE"] = mode
+        times = []
+        total = 0
+        for _ in range(2):
+            acc = CountAccumulator(plan, conv)
+            t0 = time.perf_counter()
+            total = decode_file(cfg, plan, scheme, acc)
+            acc.finalize()
+            times.append(time.perf_counter() - t0)
+        results[mode] = {
+            "sustained": round(total / (sum(times) / len(times)), 1),
+            "best": round(total / min(times), 1),
+        }
+        counters[mode] = acc.seq_errors.counters.tolist()
+    os.environ.pop("NGS_QUAL_WIRE", None)
+    assert counters["pack"] == counters["raw"], (
+        "quality wire changed results", counters
+    )
+
+    import jax
+
+    rps = results["pack"]["sustained"]
+    print(json.dumps({
+        "metric": "reads_per_second",
+        "value": rps,
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 3),
+        "detail": {
+            "config": "min_quality_30_dense",
+            "platform": jax.devices()[0].platform,
+            "n_reads": total,
+            "qual_wire_pack": results["pack"],
+            "qual_wire_raw": results["raw"],
+            "counters": counters["pack"],
+            "batch_size": batch_size,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
