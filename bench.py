@@ -335,18 +335,24 @@ def main():
         n_ing += pb2.n_reads
     ingest_rps = n_ing / (time.perf_counter() - t0)
 
-    # Analytic kernel FLOPs per read (the MXU stages as actually built —
-    # fused all-slot matcher or per-slot fallback; the realign shifter
-    # and VPU reductions are excluded):
+    # Analytic kernel FLOPs per read, two ways: as-built (the padded
+    # matmuls the MXU actually executes) and useful-only (unpadded
+    # columns).  Both MFUs are low BY DESIGN: the round-4 hardware A/B
+    # showed the kernel is VPU/relayout-bound, not MXU-bound — cutting
+    # scan MXU FLOPs 3x (packed scan) or doubling MXU rate (int8
+    # operands) both made it SLOWER (R4_SESSION.json, BENCH.md).
     from ngs_barcode_count_tpu.ops.pallas_decode import (
         kernel_flops_per_read,
+        kernel_useful_flops_per_read,
     )
 
     flops_per_read = kernel_flops_per_read(plan, pb.width)
+    useful_per_read = kernel_useful_flops_per_read(plan, pb.width)
     kernel_tflops = dev_rps * flops_per_read / 1e12
     # v5e MXU peak: 197 TFLOP/s bf16 (matmul operands here are exact
     # small integers carried in bf16 where gated, f32 otherwise)
     mfu_pct = 100.0 * kernel_tflops / 197.0
+    mfu_useful_pct = 100.0 * dev_rps * useful_per_read / 1e12 / 197.0
 
     matched = acc.seq_errors.matched
     print(
@@ -370,8 +376,11 @@ def main():
                     ),
                     "xla_device_resident_reads_per_s": round(xla_dev_rps, 1),
                     "kernel_flops_per_read": flops_per_read,
+                    "kernel_useful_flops_per_read": useful_per_read,
                     "kernel_tflops": round(kernel_tflops, 2),
                     "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
+                    "kernel_mfu_useful_pct": round(mfu_useful_pct, 2),
+                    "kernel_bound_by": "vpu_relayout (see BENCH.md r4)",
                     "ingest_reads_per_s": round(ingest_rps, 1),
                     "link_probe_mbps_random_bytes": link_mbps,
                     "link_ceiling_reads_per_s": link_ceiling_rps,

@@ -771,9 +771,10 @@ def _dedup_sorted() -> bool:
     collapsed), so a different insert placement only moves which slot a
     triple lands in — lookups scan the whole probe window, and losers
     still overflow to the exact host path.  Final counts/counters are
-    identical; only table bit layout differs.  Default decided by a
-    hardware A/B (BENCH.md round 4)."""
-    return os.environ.get("NGS_DEDUP_SORTED", "0") == "1"
+    identical; only table bit layout differs.  DEFAULT ON since the
+    round-4 hardware A/B (+3-7% across table sizes, BENCH.md round 4);
+    NGS_DEDUP_SORTED=0 restores the row-order formulation."""
+    return os.environ.get("NGS_DEDUP_SORTED", "1") == "1"
 
 
 def _dedup_windowed() -> bool:
