@@ -927,9 +927,11 @@ def hashset_update(
 @partial(jax.jit, static_argnums=(0, 8, 9), donate_argnums=(1, 2, 3))
 def random_hashset_step_unpacked(
     plan: DecodePlan, table, counts, counters, bases, quals, lengths,
-    read_mask, cap: int, variant: str = "row",
+    read_mask, cap: int, variant: str | None = None,
 ):
-    """Jitted entry for the int8 (NumPy-ingest fallback) path."""
+    """Jitted entry for the int8 (NumPy-ingest fallback) path.
+    ``variant`` None resolves _dedup_variant() at trace time (callers
+    that toggle the env vars mid-process must pass it explicitly)."""
     return random_hashset_step(
         plan, table, counts, counters, bases, quals, lengths, read_mask,
         cap, variant,
@@ -939,7 +941,8 @@ def random_hashset_step_unpacked(
 @partial(jax.jit, static_argnums=(0, 8, 9, 11), donate_argnums=(1, 2, 3))
 def random_hashset_step_packed(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
-    exc_val, width: int, cap: int, n_reads, variant: str = "row",
+    exc_val, width: int, cap: int, n_reads,
+    variant: str | None = None,
 ):
     """Wire-format variant of random_hashset_step (no quality gate)."""
     B = packed.shape[0]
@@ -959,7 +962,7 @@ def random_hashset_step_packed(
 def random_hashset_step_packed_q(
     plan: DecodePlan, table, counts, counters, packed, lengths, exc_idx,
     exc_val, quals, width: int, cap: int, n_reads,
-    variant: str = "row",
+    variant: str | None = None,
 ):
     B = packed.shape[0]
     bases = unpack_bases(packed, exc_idx, exc_val, width)
