@@ -249,6 +249,116 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length()
 
 
+# ---------------------------------------------------------------------------
+# Deinterleaved (packed-input) kernel machinery
+#
+# The XLA unpack prologue (2-bit expand + exception scatter + [B, W]
+# int8 materialization) measured 29.2 ns/read on v5e — 1.4x the entire
+# fused kernel (R4_SESSION.json H_unpack2).  Moving the expand INTO the
+# kernel costs ~1-2 ns, but the natural interleave (l = 4q + k lanes
+# from byte q's 4 fields) does not lower on Mosaic (vector reshape
+# across lanes fails to legalize).  Solution: keep every per-position
+# tensor in DEINTERLEAVED order d(l) = (l % 4) * (W/4) + l // 4 — the
+# expand is then a plain lane-dim concat of the four shift planes — and
+# permute the rows of every position-indexed matmul matrix (scan,
+# matchers, word packers) at BUILD time to match.  The realign shifter
+# is reformulated for the deint layout (_realign_deint); contaminated
+# block-tail lanes always map to true positions >= W - offset >= F, a
+# region nothing reads.  Exceptions (N/OTHER, rare) ship as a 2-bit
+# sidecar plane built by ONE tiny XLA scatter (exc_plane) and fold into
+# the expand with one select.
+# ---------------------------------------------------------------------------
+
+
+def _deint_index(l: int, W: int) -> int:
+    """True position l -> deinterleaved column index."""
+    return (l % 4) * (W // 4) + l // 4
+
+
+def exc_plane(exc_idx, exc_val, B: int, width: int):
+    """[cap] flat exception list -> [B, W/4] uint8 2-bit code plane
+    (0 = none, 1 = N, 2 = OTHER), byte-aligned with the packed wire.
+    Exception positions are unique, so scatter-add never collides."""
+    live = exc_idx >= 0
+    byte = jnp.where(live, exc_idx // 4, 0)
+    sh = 2 * (exc_idx % 4)
+    add = jnp.where(
+        live, (exc_val.astype(jnp.int32) - 3) << sh, 0
+    ).astype(jnp.uint8)
+    ep = jnp.zeros(B * (width // 4), jnp.uint8).at[byte].add(add)
+    return ep.reshape(B, width // 4)
+
+
+def _expand_deint(p, e):
+    """[TB, W/4] packed bytes + exception plane -> [TB, W] int32 base
+    codes in deinterleaved order (block k holds positions l%4 == k)."""
+    p = p.astype(jnp.int32)
+    e = e.astype(jnp.int32)
+    parts = []
+    for k in range(4):
+        b = (p >> (2 * k)) & 3
+        ec = (e >> (2 * k)) & 3
+        parts.append(jnp.where(ec > 0, ec + 3, b))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _realign_deint(work, shift, W: int, O: int, TB: int):
+    """R[b, d(p)] = work[b, d(p + shift[b])] for the deint layout: the
+    log2 shifter where a shift of 4t true positions is a plain lane
+    shift by t, and shifts of 1/2 are block rotations with a one-lane
+    nudge.  Lanes whose source crosses a block boundary correspond to
+    true positions >= W - shift >= F and are never read downstream."""
+    Q = W // 4
+    for kb in range((O - 1).bit_length()):
+        s = 1 << kb
+        if s >= 4:
+            t = s // 4
+            shifted = jnp.concatenate(
+                [work[:, t:], jnp.zeros((TB, t), work.dtype)], axis=1
+            )
+        elif s == 1:
+            # new[kQ+q] = old[(k+1)Q+q] for k<3; block3 <- block0 lanes+1
+            b3 = jnp.concatenate(
+                [work[:, 1:Q], jnp.zeros((TB, 1), work.dtype)], axis=1
+            )
+            shifted = jnp.concatenate([work[:, Q:], b3], axis=1)
+        else:  # s == 2: blocks 2,3 <- blocks 0,1 lanes+1
+            b01 = jnp.concatenate(
+                [work[:, 1 : 2 * Q], jnp.zeros((TB, 1), work.dtype)],
+                axis=1,
+            )
+            shifted = jnp.concatenate([work[:, 2 * Q :], b01], axis=1)
+        bit = ((shift >> kb) & 1) == 1  # [TB, 1]
+        work = jnp.where(bit, shifted, work)
+    return work
+
+
+def _permute_rows_deint(Wm: np.ndarray, L: int, n_cls: int) -> np.ndarray:
+    """Row-permute a c-major [n_cls*L, C] matmul matrix so row c*L + l
+    moves to c*L + d(l): the matrix the deint one-hot layout consumes."""
+    out = np.zeros_like(Wm)
+    for l in range(L):
+        d = _deint_index(l, L)
+        for c in range(n_cls):
+            out[c * L + d, :] = Wm[c * L + l, :]
+    return out
+
+
+def _expand_rows_to_width(Wm: np.ndarray, F: int, W: int,
+                          n_cls: int) -> np.ndarray:
+    """Remap a c-major [n_cls*F, C] matrix over FORMAT positions onto
+    the deint full-width row space [n_cls*W, C]: row c*F + p moves to
+    c*W + d(p).  Rows for positions >= F stay zero (the realigned deint
+    tensor's contaminated lanes then contribute nothing)."""
+    C = Wm.shape[1]
+    out = np.zeros((n_cls * W, C), Wm.dtype)
+    for p in range(F):
+        d = _deint_index(p, W)
+        for c in range(n_cls):
+            out[c * W + d, :] = Wm[c * F + p, :]
+    return out
+
+
 def _realign(src, shift, L, O, TB, F):
     """R[b, p] = src[b, shift[b] + p] for shift in [0, O) via a log2
     shifter: ceil(log2(O)) conditional lane shifts instead of an
@@ -470,7 +580,7 @@ def kernel_useful_flops_per_read(plan: DecodePlan, L: int) -> int:
 
 def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
                       O, O_pad, n_const, n_wild, max_const,
-                      scan_packed=None):
+                      scan_packed=None, deint=False):
     """Shared per-tile front end of every decode kernel: the one-matmul
     offset scan, the leftmost-exact / unique-best-repair selection, and
     the realigned format region.  Returns (const_ok, offset, has_exact,
@@ -574,7 +684,10 @@ def _kernel_front_end(plan, basesf, lengths, is_read, scan_w_ref, TB, L, F,
     const_ok = len_ok & (has_exact | repair_ok)
     offset = jnp.where(has_exact, exact_off, rep_off)
 
-    R = _realign(basesf, offset, L, O, TB, F)
+    if deint:
+        R = _realign_deint(basesf, offset, L, O, TB)  # full-W deint
+    else:
+        R = _realign(basesf, offset, L, O, TB, F)
     return const_ok, offset, has_exact, exact_off, o_idx, R
 
 
@@ -623,13 +736,20 @@ def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
 
 
 def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        packed_input: bool = False):
     """Compile the fused kernel for width L.  Returns jitted
     fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32[, quals])
     -> (flat [B] int32, status [B] int32); B must be a multiple of TB.
     When the plan's quality gate is on, the returned fn takes a fourth
     ``quals [B, L] int8`` argument and the fused segment-mean check runs
-    in-kernel."""
+    in-kernel.
+
+    ``packed_input=True`` compiles the deinterleaved variant: fn takes
+    (packed [B, L/4] uint8, exc_plane [B, L/4] uint8, lengths, n_reads
+    [, quals]) and the 2-bit expand runs IN-KERNEL (the XLA unpack
+    prologue measured 29 ns/read vs ~2 in-kernel — R4_SESSION.json).
+    Bit-identical results; requires the fused all-slot matcher."""
     scheme = plan.scheme
     F = scheme.length
     if L < F:
@@ -657,11 +777,31 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
              plan.counted_n_masks[i], int(plan.max_errors.barcode[i]))
         )
     W_all, metas, slot_mats = _build_matchers(slot_defs, F)
+    if packed_input:
+        if W_all is None:
+            raise ValueError(
+                "packed-input kernel requires the fused all-slot matcher"
+            )
+        if L % 4:
+            raise ValueError("packed-input kernel requires width % 4 == 0")
+        # deint layouts: permute the scan rows, remap the matcher rows
+        # onto the full-width deint row space
+        W_scan = _permute_rows_deint(W_scan, L, 5)
+        W_all = _expand_rows_to_width(W_all, F, L, 5)
+        if 2 * W_all.size > _FUSED_MATCH_VMEM * 2:
+            raise ValueError("deint matcher matrix exceeds VMEM budget")
+    match_L = L if packed_input else F
     radix = plan.combo_radix
     n_combos = int(np.prod(radix)) if radix else 1
     has_sample = scheme.sample_slot is not None
 
-    def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
+    def kernel(n_reads_ref, lengths_ref, *refs):
+        if packed_input:
+            packed_ref, epk_ref = refs[0], refs[1]
+            refs = refs[2:]
+        else:
+            bases_ref = refs[0]
+            refs = refs[1:]
         if with_quals:
             quals_ref, scan_w_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -673,12 +813,17 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         flat_ref, status_ref = refs[n_mats:]
 
         tile = pl.program_id(0)
-        # int8-native variant keeps the whole front end (compares,
-        # realign shifter) on int8 lanes — 4x the VPU density of f32
-        basesf = (
-            bases_ref[...] if _i8_native()
-            else bases_ref[...].astype(jnp.float32)
-        )  # [TB, L]
+        if packed_input:
+            # in-kernel 2-bit expand into the deint layout (int32 lanes:
+            # int8 compares do not legalize on this target)
+            basesf = _expand_deint(packed_ref[...], epk_ref[...])
+        else:
+            # int8-native variant keeps the whole front end (compares,
+            # realign shifter) on int8 lanes — 4x the VPU density of f32
+            basesf = (
+                bases_ref[...] if _i8_native()
+                else bases_ref[...].astype(jnp.float32)
+            )  # [TB, L]
         lengths = lengths_ref[...]  # [TB, 1] int32
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]  # [TB, 1]
@@ -687,7 +832,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             _kernel_front_end(
                 plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
                 O_pad, n_const, n_wild, max_const,
-                scan_packed=scan_packed,
+                scan_packed=scan_packed, deint=packed_input,
             )
         )
 
@@ -706,7 +851,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         sample_idx = jnp.zeros((TB, 1), jnp.int32)
         bc_pos = 0
         results = _run_matchers(
-            R, W_all, metas, slot_mats, slot_w_refs, F, TB
+            R, W_all, metas, slot_mats, slot_w_refs, match_L, TB
         )
         for (name, slot, _, _, _, _), (idx, ok) in zip(metas, results):
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
@@ -727,22 +872,39 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         [W_all] if W_all is not None else [Wm for Wm, _ in slot_mats]
     )
 
-    def fn(bases, lengths, n_reads, quals=None):
-        B = bases.shape[0]
+    def fn_unpacked(bases, lengths, n_reads, quals=None):
+        return _call(bases, None, lengths, n_reads, quals)
+
+    def fn_packed(packed, epk, lengths, n_reads, quals=None):
+        return _call(packed, epk, lengths, n_reads, quals)
+
+    def _call(data, epk, lengths, n_reads, quals):
+        B = data.shape[0]
         if B % TB:
             raise ValueError(f"batch {B} not a multiple of tile {TB}")
         grid = (B // TB,)
         in_specs = [
             pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
         ]
         args = [
             n_reads.astype(jnp.int32),
             lengths.astype(jnp.int32)[:, None],
-            bases,
         ]
+        if packed_input:
+            in_specs += [
+                pl.BlockSpec((TB, L // 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, L // 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [data, epk]
+        else:
+            in_specs.append(
+                pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(data)
         if with_quals:
             if quals is None:
                 raise ValueError("quality gate on: quals required")
@@ -778,7 +940,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         )(*args)
         return flat[:, 0], status[:, 0]
 
-    return jax.jit(fn)
+    return jax.jit(fn_packed if packed_input else fn_unpacked)
 
 
 _PACKED_STEP_CACHE: dict = {}
@@ -795,9 +957,12 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     (tens of seconds through a remote-compile service), so every consumer
     in a process must share one compiled instance.
     """
+    import os
+
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = (id(plan), width, TB, _variant_key())
+    packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+    key = (id(plan), width, TB, _variant_key(), packed_input)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -805,7 +970,15 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     from ngs_barcode_count_tpu import stats
     from ngs_barcode_count_tpu.ops.decode import unpack_bases
 
-    decode_fn = build_pallas_decode(plan, width, TB=TB)
+    if packed_input:
+        try:
+            decode_fn = build_pallas_decode(
+                plan, width, TB=TB, packed_input=True
+            )
+        except ValueError:
+            packed_input = False  # per-slot matcher etc.: XLA unpack
+    if not packed_input:
+        decode_fn = build_pallas_decode(plan, width, TB=TB)
     with_quals = plan.min_quality > 0.0
 
     def _tally(counts, counters, flat, status):
@@ -821,15 +994,27 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
         add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
         return counts, counters + add
 
+    def _decode(packed, lengths, exc_idx, exc_val, n_reads, quals):
+        extra = () if quals is None else (quals,)
+        if packed_input:
+            epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
+            return decode_fn(
+                packed, epk, lengths.astype(jnp.int32),
+                n_reads.astype(jnp.int32), *extra,
+            )
+        bases = unpack_bases(packed, exc_idx, exc_val, width)
+        return decode_fn(
+            bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
+            *extra,
+        )
+
     if with_quals:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(counts, counters, packed, lengths, exc_idx, exc_val,
                  n_reads, quals):
-            bases = unpack_bases(packed, exc_idx, exc_val, width)
-            flat, status = decode_fn(
-                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
-                quals,
+            flat, status = _decode(
+                packed, lengths, exc_idx, exc_val, n_reads, quals
             )
             return _tally(counts, counters, flat, status)
 
@@ -838,9 +1023,8 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(counts, counters, packed, lengths, exc_idx, exc_val,
                  n_reads):
-            bases = unpack_bases(packed, exc_idx, exc_val, width)
-            flat, status = decode_fn(
-                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
+            flat, status = _decode(
+                packed, lengths, exc_idx, exc_val, n_reads, None
             )
             return _tally(counts, counters, flat, status)
 
@@ -873,11 +1057,14 @@ def pallas_dense_count_step(plan: DecodePlan, decode_fn, counts, counters,
 
 
 def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              packed_input: bool = False):
     """Fused kernel for keyed modes (raw-DNA slots and/or random
     barcode): outputs (wire [B, C] int32, status [B] int32) with the wire
     column layout of ops.decode.keyed_wire_layout, so the host-side
-    consumer is identical to the XLA path's."""
+    consumer is identical to the XLA path's.  ``packed_input=True``: the
+    deinterleaved in-kernel-unpack variant (see build_pallas_decode) —
+    fn takes (packed, exc_plane, lengths, n_reads[, quals])."""
     from ngs_barcode_count_tpu.ops.decode import (
         _fused_bits,
         keyed_wire_layout,
@@ -912,6 +1099,17 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                  plan.counted_n_masks[i], int(plan.max_errors.barcode[i]))
             )
     W_all, metas, slot_mats = _build_matchers(slot_defs, F)
+    if packed_input:
+        if slot_defs and W_all is None:
+            raise ValueError(
+                "packed-input kernel requires the fused all-slot matcher"
+            )
+        if L % 4:
+            raise ValueError("packed-input kernel requires width % 4 == 0")
+        W_scan = _permute_rows_deint(W_scan, L, 5)
+        if W_all is not None:
+            W_all = _expand_rows_to_width(W_all, F, L, 5)
+    match_L = L if packed_input else F
     radix = (
         plan.combo_radix
         if plan.dense_counted and plan.combo_fits_i32
@@ -947,6 +1145,9 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
                 Wl_all[slot.offset + i, c0 + w] = float(8 ** r)
             else:
                 Wh_all[slot.offset + i, c0 + w] = float(8 ** (r - 5))
+    if packed_input and raw_slots:
+        Wl_all = _expand_rows_to_width(Wl_all, F, L, 1)
+        Wh_all = _expand_rows_to_width(Wh_all, F, L, 1)
 
     def _all_words(R, wl_ref, wh_ref):
         rb = R.astype(jnp.bfloat16)
@@ -954,7 +1155,13 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         high = jnp.dot(rb, wh_ref[...], preferred_element_type=jnp.float32)
         return low.astype(jnp.int32) + high.astype(jnp.int32) * 32768
 
-    def kernel(n_reads_ref, lengths_ref, bases_ref, *refs):
+    def kernel(n_reads_ref, lengths_ref, *refs):
+        if packed_input:
+            packed_ref, epk_ref = refs[0], refs[1]
+            refs = refs[2:]
+        else:
+            bases_ref = refs[0]
+            refs = refs[1:]
         if with_quals:
             quals_ref, scan_w_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -969,10 +1176,13 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         wire_ref, status_ref = refs[n_word_refs:]
 
         tile = pl.program_id(0)
-        basesf = (
-            bases_ref[...] if _i8_native()
-            else bases_ref[...].astype(jnp.float32)
-        )
+        if packed_input:
+            basesf = _expand_deint(packed_ref[...], epk_ref[...])
+        else:
+            basesf = (
+                bases_ref[...] if _i8_native()
+                else bases_ref[...].astype(jnp.float32)
+            )
         lengths = lengths_ref[...]
         row = tile * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, 1), 0)
         is_read = row < n_reads_ref[0]
@@ -981,7 +1191,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
             _kernel_front_end(
                 plan, basesf, lengths, is_read, scan_w_ref, TB, L, F, O,
                 O_pad, n_const, n_wild, max_const,
-                scan_packed=scan_packed,
+                scan_packed=scan_packed, deint=packed_input,
             )
         )
 
@@ -1002,7 +1212,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         counted_idx = []
         bc_pos = 0
         results = _run_matchers(
-            R, W_all, metas, slot_mats, slot_w_refs, F, TB
+            R, W_all, metas, slot_mats, slot_w_refs, match_L, TB
         )
         for (name, slot, _, _, _, _), (idx, ok) in zip(metas, results):
             code = ST_SAMPLE if name == "sample" else ST_BARCODE
@@ -1062,22 +1272,39 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
     if raw_slots:
         consts_np += [Wl_all, Wh_all]
 
-    def fn(bases, lengths, n_reads, quals=None):
-        B = bases.shape[0]
+    def fn_unpacked(bases, lengths, n_reads, quals=None):
+        return _call(bases, None, lengths, n_reads, quals)
+
+    def fn_packed(packed, epk, lengths, n_reads, quals=None):
+        return _call(packed, epk, lengths, n_reads, quals)
+
+    def _call(data, epk, lengths, n_reads, quals):
+        B = data.shape[0]
         if B % TB:
             raise ValueError(f"batch {B} not a multiple of tile {TB}")
         grid = (B // TB,)
         in_specs = [
             pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
         ]
         args = [
             n_reads.astype(jnp.int32),
             lengths.astype(jnp.int32)[:, None],
-            bases,
         ]
+        if packed_input:
+            in_specs += [
+                pl.BlockSpec((TB, L // 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, L // 4), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [data, epk]
+        else:
+            in_specs.append(
+                pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(data)
         if with_quals:
             if quals is None:
                 raise ValueError("quality gate on: quals required")
@@ -1117,7 +1344,7 @@ def build_pallas_decode_keyed(plan: DecodePlan, L: int, TB: int = 256,
         )(*args)
         return wire, status[:, 0]
 
-    return jax.jit(fn)
+    return jax.jit(fn_packed if packed_input else fn_unpacked)
 
 
 def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
@@ -1129,13 +1356,16 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     Drop-in for ops.decode.random_hashset_step_packed[_q] (the XLA front
     end measured 374 ns/read vs the kernel's 56; the dedup tail is
     shared, so table/counts/counters/overflow stay bit-identical)."""
+    import os
+
     if TB is None:
         TB = _auto_tb(plan, width)
     from ngs_barcode_count_tpu.ops.decode import _dedup_variant
 
     dedup_variant = _dedup_variant()
+    packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
     key = ("hashset", id(plan), width, cap, TB, _variant_key(),
-           dedup_variant)
+           dedup_variant, packed_input)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1147,9 +1377,18 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
         wire_hashset_inputs,
     )
 
-    decode_fn = build_pallas_decode_keyed(
-        plan, width, TB=TB, interpret=interpret
-    )
+    if packed_input:
+        try:
+            decode_fn = build_pallas_decode_keyed(
+                plan, width, TB=TB, interpret=interpret,
+                packed_input=True,
+            )
+        except ValueError:
+            packed_input = False
+    if not packed_input:
+        decode_fn = build_pallas_decode_keyed(
+            plan, width, TB=TB, interpret=interpret
+        )
     with_quals = plan.min_quality > 0.0
 
     def _counters_add(status):
@@ -1162,8 +1401,14 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
 
     def _core(table, counts, counters, packed, lengths, exc_idx, exc_val,
               n_reads, quals):
-        bases = unpack_bases(packed, exc_idx, exc_val, width)
-        args = (bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32))
+        if packed_input:
+            epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
+            args = (packed, epk, lengths.astype(jnp.int32),
+                    n_reads.astype(jnp.int32))
+        else:
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            args = (bases, lengths.astype(jnp.int32),
+                    n_reads.astype(jnp.int32))
         wire, status = (
             decode_fn(*args, quals) if with_quals else decode_fn(*args)
         )
@@ -1198,15 +1443,26 @@ def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
     """Wire-format keyed step with the fused kernel inside (cached like
     build_pallas_packed_step).  Returns {"wire", "counters"} matching
     ops.decode.keyed_decode_step_packed's contract."""
+    import os
+
     if TB is None:
         TB = _auto_tb(plan, width)
-    key = ("keyed", id(plan), width, TB, _variant_key())
+    packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+    key = ("keyed", id(plan), width, TB, _variant_key(), packed_input)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     from ngs_barcode_count_tpu import stats
     from ngs_barcode_count_tpu.ops.decode import unpack_bases
 
-    decode_fn = build_pallas_decode_keyed(plan, width, TB=TB)
+    if packed_input:
+        try:
+            decode_fn = build_pallas_decode_keyed(
+                plan, width, TB=TB, packed_input=True
+            )
+        except ValueError:
+            packed_input = False
+    if not packed_input:
+        decode_fn = build_pallas_decode_keyed(plan, width, TB=TB)
     with_quals = plan.min_quality > 0.0
 
     def _counters(status):
@@ -1217,14 +1473,26 @@ def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
         add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
         return add
 
+    def _decode(packed, lengths, exc_idx, exc_val, n_reads, quals):
+        extra = () if quals is None else (quals,)
+        if packed_input:
+            epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
+            return decode_fn(
+                packed, epk, lengths.astype(jnp.int32),
+                n_reads.astype(jnp.int32), *extra,
+            )
+        bases = unpack_bases(packed, exc_idx, exc_val, width)
+        return decode_fn(
+            bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
+            *extra,
+        )
+
     if with_quals:
 
         @jax.jit
         def step(packed, lengths, exc_idx, exc_val, n_reads, quals):
-            bases = unpack_bases(packed, exc_idx, exc_val, width)
-            wire, status = decode_fn(
-                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32),
-                quals,
+            wire, status = _decode(
+                packed, lengths, exc_idx, exc_val, n_reads, quals
             )
             return {"wire": wire, "counters": _counters(status)}
 
@@ -1232,9 +1500,8 @@ def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
 
         @jax.jit
         def step(packed, lengths, exc_idx, exc_val, n_reads):
-            bases = unpack_bases(packed, exc_idx, exc_val, width)
-            wire, status = decode_fn(
-                bases, lengths.astype(jnp.int32), n_reads.astype(jnp.int32)
+            wire, status = _decode(
+                packed, lengths, exc_idx, exc_val, n_reads, None
             )
             return {"wire": wire, "counters": _counters(status)}
 

@@ -441,3 +441,64 @@ def test_pallas_hashset_step_equals_xla(tmp_path, rng, monkeypatch):
         np.asarray(over_x)[:k], np.asarray(over_p)[:k]
     )
     assert int(np.asarray(ctr_x)[stats.DUPLICATES]) > 0
+
+
+def test_packed_input_kernel_bit_identical(dense_setup, rng):
+    """The deinterleaved packed-input kernel (in-kernel 2-bit expand +
+    exception plane, round 4) must equal the unpacked kernel bit-for-bit
+    — including reads with N/OTHER exceptions, flank offsets, and short
+    reads."""
+    from ngs_barcode_count_tpu.io import native as native_mod
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+    from ngs_barcode_count_tpu.utils import simulate
+    from tests.test_end_to_end import BC1, BC2, BC3, SAMPLES, write_inputs
+    from tests.test_end_to_end import _mk_config
+    import tempfile
+
+    scheme, plan, oracle, conv = dense_setup
+    reads, quals = [], []
+    for i in range(300):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 3)] for s in (BC1, BC2, BC3)],
+            flank_left=int(rng.integers(0, 8)),
+            flank_right=int(rng.integers(0, 8)),
+            n_errors=int(rng.integers(0, 6)),
+        )
+        if i % 7 == 0:  # inject N exceptions
+            p = int(rng.integers(0, len(r)))
+            r = r[:p] + "N" + r[p + 1:]
+        if i % 31 == 0:  # OTHER exception (lowercase survives the codec)
+            p = int(rng.integers(0, len(r)))
+            r = r[:p] + "a" + r[p + 1:]
+        reads.append(r)
+        quals.append("I" * len(r))
+    with tempfile.TemporaryDirectory() as td:
+        fq = td + "/x.fastq"
+        simulate.write_fastq(fq, reads, quals)
+        pb = next(iter(read_fastq_packed_parallel(
+            fq, min_width=scheme.length, batch_reads=512,
+        )))
+    if getattr(pb, "transposed", False):
+        pb.packed = np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    assert (np.asarray(pb.exc_idx) >= 0).sum() > 0
+    n = np.array([pb.n_reads], np.int32)
+    lengths = np.asarray(pb.lengths).astype(np.int32)
+
+    f_unp = pdec.build_pallas_decode(
+        plan, pb.width, TB=8, interpret=True
+    )
+    bases = unpack_bases(pb.packed, pb.exc_idx, pb.exc_val, pb.width)
+    flat_u, st_u = f_unp(bases, lengths, n)
+
+    f_pk = pdec.build_pallas_decode(
+        plan, pb.width, TB=8, interpret=True, packed_input=True
+    )
+    epk = pdec.exc_plane(pb.exc_idx, pb.exc_val, 512, pb.width)
+    flat_p, st_p = f_pk(pb.packed, epk, lengths, n)
+    np.testing.assert_array_equal(np.asarray(st_u), np.asarray(st_p))
+    np.testing.assert_array_equal(np.asarray(flat_u), np.asarray(flat_p))
