@@ -777,7 +777,7 @@ def _dedup_sorted() -> bool:
     return os.environ.get("NGS_DEDUP_SORTED", "1") == "1"
 
 
-def _dedup_windowed() -> bool:
+def _dedup_windowed() -> int:
     """NGS_DEDUP_WINDOWED=1: replace the 4-step sequential probe loop
     (4 x gather/scatter/gather = 12 dependent HBM ops — measured 91 of
     the tail's ~142 ns/read on v5e) with ONE [B, 4] window gather for
@@ -787,15 +787,20 @@ def _dedup_windowed() -> bool:
     the sort, so same-window contenders are distinct triples; a loser
     retries against the refreshed window and double-losers overflow to
     the exact host path (slots never free, so later occurrences of an
-    overflowed triple keep overflowing)."""
-    return os.environ.get("NGS_DEDUP_WINDOWED", "0") == "1"
+    overflowed triple keep overflowing).  =2 uses FOUR independent
+    [B] gathers instead of one [B, 4] gather (the strided window gather
+    measured slower than the plain loop on v5e; independent gathers
+    have no data dependency and can pipeline)."""
+    v = os.environ.get("NGS_DEDUP_WINDOWED", "0")
+    return int(v) if v in ("0", "1", "2") else 0
 
 
 def _dedup_variant() -> str:
     """Static fingerprint of the dedup-tail formulation (threaded into
     every jitted step as a static arg so env toggles retrace)."""
+    w = _dedup_windowed()
     return ("sorted" if _dedup_sorted() else "row") + (
-        "+win" if _dedup_windowed() else ""
+        "" if not w else f"+win{w}"
     )
 
 
@@ -816,7 +821,9 @@ def hashset_update(
     if variant is None:
         variant = _dedup_variant()
     sorted_tail = variant.startswith("sorted")
-    windowed = variant.endswith("+win")
+    windowed = 0
+    if "+win" in variant:
+        windowed = 2 if variant.endswith("2") else 1
     S = table.shape[0]
     B = valid.shape[0]
 
@@ -868,7 +875,23 @@ def hashset_update(
             + jnp.arange(DEDUP_PROBES, dtype=jnp.int32)[None, :],
             S,
         )
-        win = table.at[cur4].get(mode="fill", fill_value=1)
+
+        def window(tab):
+            if windowed == 1:  # one strided [B, 4] gather
+                return tab.at[cur4].get(mode="fill", fill_value=1)
+            # four INDEPENDENT [B] gathers: no data dependency between
+            # them, so their HBM latencies overlap
+            return jnp.stack(
+                [
+                    tab.at[jnp.minimum(slot + p, S)].get(
+                        mode="fill", fill_value=1
+                    )
+                    for p in range(DEDUP_PROBES)
+                ],
+                axis=1,
+            )
+
+        win = window(table)
         hit = active & jnp.any(win == fp[:, None], axis=1)
         resolved_dup = resolved_dup | hit
         active = active & ~hit
@@ -886,7 +909,7 @@ def hashset_update(
             is_new = is_new | won
             active = active & ~won
             if rnd == 0:
-                win = table.at[cur4].get(mode="fill", fill_value=1)
+                win = window(table)
                 empty = win == 0
     else:
         for p in range(DEDUP_PROBES):

@@ -527,8 +527,11 @@ def _run_matchers(R, W_all, metas, slot_mats, slot_w_refs, F, TB):
 def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
     """Analytic MXU FLOPs/read of the fused dense kernel as built for
     width L: the scan matmul plus the matcher matmul(s), reflecting the
-    fused-vs-per-slot choice _build_matchers makes (bench.py reports
+    fused-vs-per-slot choice _build_matchers makes and the deint
+    packed-input layout's full-width matcher rows (bench.py reports
     MFU from this)."""
+    import os
+
     scheme = plan.scheme
     F = scheme.length
     O = L - F + 1
@@ -548,8 +551,12 @@ def kernel_flops_per_read(plan: DecodePlan, L: int) -> int:
                  plan.counted_n_masks[i], 0)
             )
     W_all, metas, slot_mats = _build_matchers(slot_defs, F)
+    deint = (
+        os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+        and W_all is not None
+    )
     if W_all is not None:
-        flops += 2 * 5 * F * W_all.shape[1]
+        flops += 2 * 5 * (L if deint else F) * W_all.shape[1]
     else:
         for (_, slot, _, _, nc_pad, _) in metas:
             flops += 2 * 5 * slot.length * nc_pad

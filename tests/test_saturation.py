@@ -186,7 +186,7 @@ def test_overflow_pin_budget_harvests_early(monkeypatch):
 
 @pytest.mark.parametrize("slots", ["64", "65536"])
 @pytest.mark.parametrize("variant", [
-    ("1", "0"), ("0", "1"), ("1", "1"),
+    ("1", "0"), ("0", "1"), ("1", "1"), ("1", "2"),
 ])
 def test_sorted_probe_tail_exact(tmp_path, rng, monkeypatch, slots,
                                  variant):
