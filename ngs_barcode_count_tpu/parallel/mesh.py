@@ -380,15 +380,23 @@ class ShardedDenseEngine:
                 os.environ.get("NGS_DECODE_KERNEL", default) == "pallas"
             )
         decode_kernel = None
+        kernel_packed_input = False
         if use_pallas:
             from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
             try:
                 decode_kernel = pdec.build_pallas_decode(
-                    plan, width, TB=pdec._auto_tb(plan, width)
+                    plan, width, TB=pdec._auto_tb(plan, width),
+                    packed_input=True,
                 )
+                kernel_packed_input = True
             except Exception:
-                decode_kernel = None
+                try:
+                    decode_kernel = pdec.build_pallas_decode(
+                        plan, width, TB=pdec._auto_tb(plan, width)
+                    )
+                except Exception:
+                    decode_kernel = None
 
         def local_step(counts, counters, cand, packed, lengths, exc_idx,
                        exc_val, n_reads, quals):
@@ -397,7 +405,6 @@ class ShardedDenseEngine:
             from ngs_barcode_count_tpu.ops.decode import unpack_bases
 
             rows = packed.shape[0]
-            bases = unpack_bases(packed, exc_idx[0], exc_val[0], width)
             data_rank = jax.lax.axis_index("data")
             local_n = jnp.clip(n_reads[0] - data_rank * rows, 0, rows)
             mask = (
@@ -408,10 +415,23 @@ class ShardedDenseEngine:
             if decode_kernel is not None:
                 from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
-                flat, status = decode_kernel(
-                    bases, lengths.astype(jnp.int32), local_n[None],
-                    *(() if quals is None else (quals,)),
-                )
+                if kernel_packed_input:
+                    epk = pdec.exc_plane(
+                        exc_idx[0], exc_val[0], rows, width
+                    )
+                    flat, status = decode_kernel(
+                        packed, epk, lengths.astype(jnp.int32),
+                        local_n[None],
+                        *(() if quals is None else (quals,)),
+                    )
+                else:
+                    bases = unpack_bases(
+                        packed, exc_idx[0], exc_val[0], width
+                    )
+                    flat, status = decode_kernel(
+                        bases, lengths.astype(jnp.int32), local_n[None],
+                        *(() if quals is None else (quals,)),
+                    )
                 valid = status == pdec.ST_VALID
                 counts = counts.at[0, jnp.where(valid, flat, 0)].add(
                     valid.astype(counts.dtype)
@@ -432,6 +452,7 @@ class ShardedDenseEngine:
                 )
                 counters = counters + add[None, :]
                 return counts, counters
+            bases = unpack_bases(packed, exc_idx[0], exc_val[0], width)
             q = (
                 quals
                 if quals is not None

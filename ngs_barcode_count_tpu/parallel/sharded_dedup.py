@@ -135,6 +135,7 @@ class ShardedHashsetEngine:
             from ngs_barcode_count_tpu.ops import pallas_decode as _pd
 
             tb = _pd._auto_tb(plan, width)
+        kernel_packed_input = False
         if (
             R % tb == 0
             and (interp or jax.devices()[0].platform != "cpu")
@@ -144,8 +145,29 @@ class ShardedHashsetEngine:
 
             try:
                 decode_kernel = pdec.build_pallas_decode_keyed(
-                    plan, width, TB=tb, interpret=interp
+                    plan, width, TB=tb, interpret=interp,
+                    packed_input=(
+                        os.environ.get("NGS_KERNEL_PACKED_INPUT", "1")
+                        == "1"
+                    ),
                 )
+                kernel_packed_input = (
+                    os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+                )
+            except ValueError:
+                try:
+                    decode_kernel = pdec.build_pallas_decode_keyed(
+                        plan, width, TB=tb, interpret=interp
+                    )
+                except Exception as e:
+                    from ngs_barcode_count_tpu.runner import (
+                        _warn_kernel_fallback,
+                    )
+
+                    _warn_kernel_fallback(
+                        "sharded hashset decode", f"width={width}", e
+                    )
+                    decode_kernel = None
             except Exception as e:
                 from ngs_barcode_count_tpu.runner import (
                     _warn_kernel_fallback,
@@ -162,7 +184,6 @@ class ShardedHashsetEngine:
 
             table = table[0]
             rows = packed.shape[0]
-            bases = unpack_bases(packed, exc_idx[0], exc_val[0], width)
             rank = jax.lax.axis_index("data")
             local_n = jnp.clip(n_reads[0] - rank * rows, 0, rows)
             mask = (
@@ -172,10 +193,23 @@ class ShardedHashsetEngine:
             if decode_kernel is not None:
                 from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
-                wire, status = decode_kernel(
-                    bases, lengths.astype(jnp.int32), local_n[None],
-                    *(() if quals is None else (quals,)),
-                )
+                if kernel_packed_input:
+                    epk = pdec.exc_plane(
+                        exc_idx[0], exc_val[0], rows, width
+                    )
+                    wire, status = decode_kernel(
+                        packed, epk, lengths.astype(jnp.int32),
+                        local_n[None],
+                        *(() if quals is None else (quals,)),
+                    )
+                else:
+                    bases = unpack_bases(
+                        packed, exc_idx[0], exc_val[0], width
+                    )
+                    wire, status = decode_kernel(
+                        bases, lengths.astype(jnp.int32), local_n[None],
+                        *(() if quals is None else (quals,)),
+                    )
                 valid, flat, ridx = dec.wire_hashset_inputs(plan, wire)
                 dec_counters = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
                 for st, ctr in (
@@ -188,6 +222,9 @@ class ShardedHashsetEngine:
                         jnp.sum(status == st)
                     )
             else:
+                bases = unpack_bases(
+                    packed, exc_idx[0], exc_val[0], width
+                )
                 q = (
                     quals if quals is not None
                     else jnp.zeros((rows, 1), jnp.int8)
