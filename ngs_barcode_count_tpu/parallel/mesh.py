@@ -374,10 +374,9 @@ class ShardedDenseEngine:
 
         use_pallas = False
         if self.n_model == 1 and jax.devices()[0].platform != "cpu":
-            on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-            default = "xla" if on_relay else "pallas"
+            # pallas everywhere since round 4 (see runner._pallas_step_for)
             use_pallas = (
-                os.environ.get("NGS_DECODE_KERNEL", default) == "pallas"
+                os.environ.get("NGS_DECODE_KERNEL", "pallas") == "pallas"
             )
         decode_kernel = None
         kernel_packed_input = False

@@ -317,14 +317,14 @@ class CountAccumulator:
         """Fused-kernel step, built per read width.  Only on real TPU
         backends (Mosaic does not lower on CPU) and unless disabled via
         NGS_DECODE_KERNEL=xla."""
-        # The fused Pallas kernel is 4x faster measured device-resident
-        # (10.3M vs 2.6M reads/s on v5e), but through an axon loopback
-        # relay its executions do not overlap host transfers, costing
-        # end-to-end throughput.  Default: pallas on direct-attached
-        # hardware, xla under a relay; NGS_DECODE_KERNEL overrides.
-        on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-        default = "xla" if on_relay else "pallas"
-        if os.environ.get("NGS_DECODE_KERNEL", default) != "pallas":
+        # Pallas everywhere since round 4: with the deinterleaved
+        # packed-input kernel the Pallas step beats the XLA path even
+        # through the axon relay (e2e 2.75M vs 2.23M sustained in the
+        # same phase, R4_SESSION.json J_e2e; rounds 1-3 defaulted XLA on
+        # relays because kernel executions did not overlap transfers —
+        # the faster kernel now wins anyway).  NGS_DECODE_KERNEL=xla
+        # overrides.
+        if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
             return None
         import jax
 
