@@ -805,6 +805,73 @@ def _dedup_variant() -> str:
 
 
 
+
+def probe_insert(table, slot, fp, active, S: int, windowed: int):
+    """The shared probe/insert core of the device dedup (single-device
+    hashset_update AND the sharded owner-side tail use this, so variant
+    toggles keep every engine bit-consistent).  ``active`` marks rows
+    still seeking classification (in-batch repeats already collapsed).
+    Returns (table, dup_hits, is_new, overflow)."""
+    resolved = jnp.zeros_like(active)
+    is_new = jnp.zeros_like(active)
+    if windowed:
+        cur4 = jnp.minimum(
+            slot[:, None]
+            + jnp.arange(DEDUP_PROBES, dtype=jnp.int32)[None, :],
+            S,
+        )
+
+        def window(tab):
+            if windowed == 1:  # one strided [B, 4] gather
+                return tab.at[cur4].get(mode="fill", fill_value=1)
+            # four INDEPENDENT [B] gathers: no data dependency between
+            # them, so their HBM latencies overlap
+            return jnp.stack(
+                [
+                    tab.at[jnp.minimum(slot + p, S)].get(
+                        mode="fill", fill_value=1
+                    )
+                    for p in range(DEDUP_PROBES)
+                ],
+                axis=1,
+            )
+
+        win = window(table)
+        hit = active & jnp.any(win == fp[:, None], axis=1)
+        resolved = resolved | hit
+        active = active & ~hit
+        empty = win == 0
+        for rnd in range(2):
+            has_empty = jnp.any(empty, axis=1)
+            first_e = jnp.argmax(empty, axis=1).astype(jnp.int32)
+            want = active & has_empty
+            pos = jnp.minimum(slot + first_e, S)
+            table = table.at[jnp.where(want, pos, S)].set(
+                fp, mode="drop"
+            )
+            got = table.at[pos].get(mode="fill", fill_value=1)
+            won = want & (got == fp)
+            is_new = is_new | won
+            active = active & ~won
+            if rnd == 0:
+                win = window(table)
+                empty = win == 0
+    else:
+        for p in range(DEDUP_PROBES):
+            cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
+            t = table.at[cur].get(mode="fill", fill_value=1)
+            hit = active & (t == fp)
+            resolved = resolved | hit
+            active = active & ~hit
+            empty = active & (t == 0)
+            table = table.at[jnp.where(empty, cur, S)].set(fp, mode="drop")
+            t2 = table.at[cur].get(mode="fill", fill_value=1)
+            won = empty & (t2 == fp)
+            is_new = is_new | won
+            active = active & ~won
+    return table, resolved, is_new, active
+
+
 def hashset_update(
     plan: DecodePlan, table, counts, counters, counters_add, valid, flat,
     ridx, cap: int, variant: str | None = None,
@@ -864,67 +931,10 @@ def hashset_update(
         first = jnp.zeros(B, bool).at[s_row].set(run_start)
     resolved_dup = valid & ~first
     active = valid & first
-    is_new = jnp.zeros(B, bool)
-    if windowed:
-        # one [B, 4] window gather decides duplicates (in-batch repeats
-        # are already collapsed, so the pre-insert table is the full
-        # truth for fp hits); inserts resolve contention in two
-        # scatter+verify rounds (losers are rare cross-row collisions)
-        cur4 = jnp.minimum(
-            slot[:, None]
-            + jnp.arange(DEDUP_PROBES, dtype=jnp.int32)[None, :],
-            S,
-        )
-
-        def window(tab):
-            if windowed == 1:  # one strided [B, 4] gather
-                return tab.at[cur4].get(mode="fill", fill_value=1)
-            # four INDEPENDENT [B] gathers: no data dependency between
-            # them, so their HBM latencies overlap
-            return jnp.stack(
-                [
-                    tab.at[jnp.minimum(slot + p, S)].get(
-                        mode="fill", fill_value=1
-                    )
-                    for p in range(DEDUP_PROBES)
-                ],
-                axis=1,
-            )
-
-        win = window(table)
-        hit = active & jnp.any(win == fp[:, None], axis=1)
-        resolved_dup = resolved_dup | hit
-        active = active & ~hit
-        empty = win == 0
-        for rnd in range(2):
-            has_empty = jnp.any(empty, axis=1)
-            first_e = jnp.argmax(empty, axis=1).astype(jnp.int32)
-            want = active & has_empty
-            pos = jnp.minimum(slot + first_e, S)
-            table = table.at[jnp.where(want, pos, S)].set(
-                fp, mode="drop"
-            )
-            got = table.at[pos].get(mode="fill", fill_value=1)
-            won = want & (got == fp)
-            is_new = is_new | won
-            active = active & ~won
-            if rnd == 0:
-                win = window(table)
-                empty = win == 0
-    else:
-        for p in range(DEDUP_PROBES):
-            cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
-            t = table.at[cur].get(mode="fill", fill_value=1)
-            hit = active & (t == fp)
-            resolved_dup = resolved_dup | hit
-            active = active & ~hit
-            empty = active & (t == 0)
-            table = table.at[jnp.where(empty, cur, S)].set(fp, mode="drop")
-            t2 = table.at[cur].get(mode="fill", fill_value=1)
-            won = empty & (t2 == fp)
-            is_new = is_new | won
-            active = active & ~won
-    overflow = active
+    table, probe_dups, is_new, overflow = probe_insert(
+        table, slot, fp, active, S, windowed
+    )
+    resolved_dup = resolved_dup | probe_dups
 
     counts = counts.at[jnp.where(is_new, flat, 0)].add(
         is_new.astype(counts.dtype)

@@ -113,6 +113,14 @@ class ShardedHashsetEngine:
         mesh = self.mesh
         n = self.n_data
         S_local = self.s_local
+        # owner-side tail follows the SAME dedup-variant knobs as the
+        # single-device path (ops.decode.probe_insert), so an n=1 mesh
+        # stays bit-identical to the unsharded step under any variant
+        variant = dec._dedup_variant()
+        sorted_tail = variant.startswith("sorted")
+        windowed = 0
+        if "+win" in variant:
+            windowed = 2 if variant.endswith("2") else 1
         R = batch_rows // n  # local rows per device
         # all_to_all bucket capacity per (sender, owner) pair; anything
         # past it goes to the exact host overflow path
@@ -299,32 +307,37 @@ class ShardedHashsetEngine:
             m_row = jax.lax.broadcasted_iota(
                 jnp.int32, (M, 1), 0
             ).squeeze(-1)
-            ks, kf, kr = jax.lax.sort(
-                (key_slot, r_fp, m_row), num_keys=2
-            )
-            run_start = jnp.concatenate(
-                [jnp.ones((1,), bool),
-                 (ks[1:] != ks[:-1]) | (kf[1:] != kf[:-1])]
-            )
-            first = jnp.zeros(M, bool).at[kr].set(run_start)
+            if sorted_tail:
+                # stay in (slot, fp)-sorted order for the whole tail —
+                # identical processing order to the single-device sorted
+                # formulation (counts/overflow are order-independent)
+                key_slot, r_fp, _, r_flat, r_ridx = jax.lax.sort(
+                    (key_slot, r_fp, m_row, r_flat, r_ridx), num_keys=2
+                )
+                run_start = jnp.concatenate(
+                    [jnp.ones((1,), bool),
+                     (key_slot[1:] != key_slot[:-1])
+                     | (r_fp[1:] != r_fp[:-1])]
+                )
+                r_live = r_fp != 0
+                first = run_start
+                probe_slot = key_slot
+            else:
+                ks, kf, kr = jax.lax.sort(
+                    (key_slot, r_fp, m_row), num_keys=2
+                )
+                run_start = jnp.concatenate(
+                    [jnp.ones((1,), bool),
+                     (ks[1:] != ks[:-1]) | (kf[1:] != kf[:-1])]
+                )
+                first = jnp.zeros(M, bool).at[kr].set(run_start)
+                probe_slot = r_slot
             resolved_dup = r_live & ~first
             active = r_live & first
-            is_new = jnp.zeros(M, bool)
-            for p in range(dec.DEDUP_PROBES):
-                cur = jnp.minimum(r_slot + p, S_local)
-                t = table.at[cur].get(mode="fill", fill_value=1)
-                hit = active & (t == r_fp)
-                resolved_dup = resolved_dup | hit
-                active = active & ~hit
-                empty = active & (t == 0)
-                table = table.at[jnp.where(empty, cur, S_local)].set(
-                    r_fp, mode="drop"
-                )
-                t2 = table.at[cur].get(mode="fill", fill_value=1)
-                won = empty & (t2 == r_fp)
-                is_new = is_new | won
-                active = active & ~won
-            probe_over = active
+            table, probe_dups, is_new, probe_over = dec.probe_insert(
+                table, probe_slot, r_fp, active, S_local, windowed
+            )
+            resolved_dup = resolved_dup | probe_dups
 
             counts = counts.at[0, jnp.where(is_new, r_flat, 0)].add(
                 is_new.astype(counts.dtype)

@@ -494,7 +494,8 @@ class CountAccumulator:
                 self.hashset_engine.lossless_cap(B)
                 if self._cap_boost else None
             )
-            key = (pb.width, pb.quals is not None, B, cap_over)
+            key = (pb.width, pb.quals is not None, B, cap_over,
+                   dec._dedup_variant())
             step = self._hse_steps.get(key)
             if step is None:
                 step = self.hashset_engine.make_packed_step(
@@ -746,7 +747,8 @@ class CountAccumulator:
             eng = self.hashset_engine
             if not hasattr(self, "_hse_steps"):
                 self._hse_steps = {}
-            key = (pb.width, pb.quals is not None, B, eng.lossless_cap(B))
+            key = (pb.width, pb.quals is not None, B,
+                   eng.lossless_cap(B), dec._dedup_variant())
             step = self._hse_steps.get(key)
             if step is None:
                 step = eng.make_packed_step(

@@ -217,3 +217,83 @@ def test_sorted_probe_tail_exact(tmp_path, rng, monkeypatch, slots,
         acc.seq_errors.counters, acc_host.seq_errors.counters
     )
     assert acc.results_view().per_sample == acc_host.results_view().per_sample
+
+
+@pytest.mark.parametrize("variant", [("0", "0"), ("1", "0"), ("1", "2")])
+def test_sharded_n1_equals_single_device(tmp_path, rng, monkeypatch,
+                                         variant):
+    """An n_data=1 ShardedHashsetEngine must match the single-device
+    hashset step EXACTLY (counts, counters, overflow rows) under every
+    dedup variant — the round-4 sorted default regressed this on the
+    chip when the engine's tail still ran row-order (TPU_CHECK r4);
+    both now share ops.decode.probe_insert."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.parallel.sharded_dedup import (
+        ShardedHashsetEngine,
+    )
+
+    monkeypatch.setenv("NGS_DEDUP_SORTED", variant[0])
+    monkeypatch.setenv("NGS_DEDUP_WINDOWED", variant[1])
+    paths, fq = _gen_many_distinct(tmp_path, rng, 2000, 1500)
+    cfg = _mk_config(tmp_path, fq, paths)
+    scheme, conv, me, plan, _ = setup(cfg)
+    n_slots = 512  # tiny: probe chains + overflow both fire
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    hse = ShardedHashsetEngine.build(plan, mesh, n_slots)
+    table_s, counts_s, ctr_s = hse.initial_state()
+    table_1 = jnp.zeros(n_slots, jnp.uint32)
+    counts_1 = jnp.zeros(plan.n_samples * plan.n_combos, jnp.int32)
+    ctr_1 = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    hstep = None
+    over_s_all, over_1_all = [], []
+    vstr = dec._dedup_variant()
+    for pb in read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=512,
+    ):
+        if getattr(pb, "transposed", False):
+            pb.packed = np.ascontiguousarray(pb.packed.T)
+            pb.transposed = False
+        n = np.array([pb.n_reads], np.int32)
+        B = pb.packed.shape[0]
+        if hstep is None:
+            hstep = hse.make_packed_step(
+                pb.width, False, B, cap_over=hse.lossless_cap(B)
+            )
+        exc_i, exc_v = hse.split_exceptions(
+            np.asarray(pb.exc_idx), np.asarray(pb.exc_val), B, pb.width
+        )
+        table_s, counts_s, ctr_s, ov_s, no_s = hstep(
+            table_s, counts_s, ctr_s, pb.packed,
+            np.asarray(pb.lengths), exc_i, exc_v, n, None,
+        )
+        cap = B  # lossless on both sides: overflow sets compare whole
+        table_1, counts_1, ctr_1, ov_1, no_1 = (
+            dec.random_hashset_step_packed(
+                plan, table_1, counts_1, ctr_1, pb.packed, pb.lengths,
+                pb.exc_idx, pb.exc_val, pb.width, cap, n, vstr,
+            )
+        )
+        k_s = int(np.asarray(no_s).reshape(-1)[0])
+        k_1 = int(np.asarray(no_1).reshape(-1)[0])
+        assert k_s <= np.asarray(ov_s).reshape(-1, 2).shape[0]
+        assert k_1 <= cap
+        over_s_all.append(np.asarray(ov_s).reshape(-1, 2)[:k_s])
+        over_1_all.append(np.asarray(ov_1)[:k_1])
+    mc_s, mctr_s = hse.merge(counts_s, ctr_s)
+    np.testing.assert_array_equal(np.asarray(mc_s), np.asarray(counts_1))
+    np.testing.assert_array_equal(np.asarray(mctr_s), np.asarray(ctr_1))
+    ov_s = np.concatenate(over_s_all)
+    ov_1 = np.concatenate(over_1_all)
+    assert len(ov_s) > 0  # the tiny table must actually overflow
+    ov_s = ov_s[np.lexsort(ov_s.T)]
+    ov_1 = ov_1[np.lexsort(ov_1.T)]
+    np.testing.assert_array_equal(ov_s, ov_1)
