@@ -458,13 +458,24 @@ _FUSED_MATCH_VMEM = 6 << 20  # bf16 W_all budget
 _TILE_VMEM = 5 << 20  # budget for the biggest [TB, X] int32 intermediate
 
 
-def _auto_tb(plan: DecodePlan, L: int, requested: int = 256) -> int:
+def _auto_tb(plan: DecodePlan, L: int, requested: int | None = None) -> int:
     """Shrink the tile height for wide intermediates: a mega-library
     matcher's [TB, nc_pad] match block (or a long read's [TB, 3*O_pad]
     scan block) must fit scoped VMEM — a 16k-candidate library at
     TB=256 is a 16.8MB block that fails Mosaic's 16MB stack limit at
     COMPILE time, after the build succeeded (hit by
-    scripts/bench_library_scale.py)."""
+    scripts/bench_library_scale.py).  Default tile: 128 for the deint
+    packed-input kernel (hardware sweep r4: 29.9M vs 25.5M reads/s at
+    TB=256 — smaller tiles fill the pipeline better once the expand is
+    in-kernel), 256 otherwise."""
+    import os
+
+    if requested is None:
+        requested = (
+            128
+            if os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+            else 256
+        )
     F = plan.scheme.length
     O_pad = _round_up(L - F + 1, 128)
     cols = 3 * O_pad
