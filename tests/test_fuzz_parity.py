@@ -356,3 +356,63 @@ def test_fuzzed_merge_enrich_gzip_outputs(tmp_path, seed):
                 )
     else:
         assert not list(tmp_path.glob("*.Single.csv"))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_packed_input_kernel(tmp_path, seed):
+    """Fuzzed schemes through the deinterleaved packed-input kernel
+    (interpret mode) vs the unpacked kernel: the deint index math (row
+    permutations, realign block rotations, exception plane) must stay
+    bit-identical across scheme shapes — N runs, odd slot layouts,
+    sample/random regions, short reads, read-Ns."""
+    import tempfile
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+    rng = np.random.default_rng(9000 + seed)
+    for _ in range(3):
+        text = _random_scheme_text(rng)
+        scheme = parse_scheme_text(text)
+        conv, samples, sets = _tables(rng, scheme)
+        me = MaxSeqErrors.create(
+            None, scheme.sample_length, None, scheme.barcode_lengths,
+            None, scheme.constant_region_length, 0.0,
+        )
+        plan = dec.make_plan(scheme, conv, me)
+        if not plan.dense_counts:
+            continue  # dense kernel only (random schemes -> keyed path)
+        reads, quals = _reads(rng, scheme, samples, sets, 200)
+        with tempfile.TemporaryDirectory() as td:
+            fq = td + "/f.fastq"
+            simulate.write_fastq(fq, reads, quals)
+            pb = next(iter(read_fastq_packed_parallel(
+                fq, min_width=scheme.length, batch_reads=256,
+            )))
+        if getattr(pb, "transposed", False):
+            pb.packed = np.ascontiguousarray(pb.packed.T)
+            pb.transposed = False
+        n = np.array([pb.n_reads], np.int32)
+        lengths = np.asarray(pb.lengths).astype(np.int32)
+        try:
+            f_pk = pdec.build_pallas_decode(
+                plan, pb.width, TB=8, interpret=True, packed_input=True
+            )
+        except ValueError:
+            continue  # per-slot fallback configs: no deint variant
+        f_unp = pdec.build_pallas_decode(
+            plan, pb.width, TB=8, interpret=True
+        )
+        bases = unpack_bases(pb.packed, pb.exc_idx, pb.exc_val, pb.width)
+        flat_u, st_u = f_unp(bases, lengths, n)
+        epk = pdec.exc_plane(pb.exc_idx, pb.exc_val, 256, pb.width)
+        flat_p, st_p = f_pk(pb.packed, epk, lengths, n)
+        np.testing.assert_array_equal(
+            np.asarray(st_u), np.asarray(st_p), err_msg=text
+        )
+        np.testing.assert_array_equal(
+            np.asarray(flat_u), np.asarray(flat_p), err_msg=text
+        )
