@@ -1456,6 +1456,94 @@ def build_pallas_hashset_step(plan: DecodePlan, width: int, cap: int,
     return step
 
 
+def build_pallas_bitmap_step(plan: DecodePlan, width: int,
+                             TB: int | None = None,
+                             interpret: bool = False):
+    """Random-mode exact-bytemap step with the fused kernel as the
+    decode front end (small combo spaces; drop-in for
+    ops.decode.random_bitmap_step_packed[_q]).  The keyed kernel emits
+    the wire, (valid, flat, ridx) reconstructs, and the bytemap
+    scatter-max + counter tally run as XLA around it — bit-identical
+    state to the XLA front end (same tail)."""
+    import os
+
+    if TB is None:
+        TB = _auto_tb(plan, width)
+    key = ("bitmap", id(plan), width, TB, _variant_key())
+    if key in _PACKED_STEP_CACHE:
+        return _PACKED_STEP_CACHE[key]
+    import functools
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.ops.decode import (
+        unpack_bases,
+        wire_hashset_inputs,
+    )
+
+    packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
+    if packed_input:
+        try:
+            decode_fn = build_pallas_decode_keyed(
+                plan, width, TB=TB, interpret=interpret,
+                packed_input=True,
+            )
+        except ValueError:
+            packed_input = False
+    if not packed_input:
+        decode_fn = build_pallas_decode_keyed(
+            plan, width, TB=TB, interpret=interpret
+        )
+    with_quals = plan.min_quality > 0.0
+    c6 = 6 ** plan.scheme.random_slot.length
+
+    def _core(bytemap, counters, packed, lengths, exc_idx, exc_val,
+              n_reads, quals):
+        extra = () if quals is None else (quals,)
+        if packed_input:
+            epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
+            wire, status = decode_fn(
+                packed, epk, lengths.astype(jnp.int32),
+                n_reads.astype(jnp.int32), *extra,
+            )
+        else:
+            bases = unpack_bases(packed, exc_idx, exc_val, width)
+            wire, status = decode_fn(
+                bases, lengths.astype(jnp.int32),
+                n_reads.astype(jnp.int32), *extra,
+            )
+        valid, flat, ridx = wire_hashset_inputs(plan, wire)
+        byte_idx = jnp.where(valid, flat * c6 + ridx, 0)
+        bytemap = bytemap.at[byte_idx].max(valid.astype(bytemap.dtype))
+        add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+        # MATCHED accumulates VALID reads; flush popcounts the bytemap
+        # (runner.finalize), exactly like random_bitmap_step
+        add = add.at[stats.MATCHED].set(jnp.sum(valid))
+        add = add.at[stats.CONSTANT_REGION].set(jnp.sum(status == ST_CONST))
+        add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum(status == ST_SAMPLE))
+        add = add.at[stats.BARCODE].set(jnp.sum(status == ST_BARCODE))
+        add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
+        return bytemap, counters + add
+
+    if with_quals:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(bytemap, counters, packed, lengths, exc_idx, exc_val,
+                 n_reads, quals):
+            return _core(bytemap, counters, packed, lengths, exc_idx,
+                         exc_val, n_reads, quals)
+
+    else:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(bytemap, counters, packed, lengths, exc_idx, exc_val,
+                 n_reads):
+            return _core(bytemap, counters, packed, lengths, exc_idx,
+                         exc_val, n_reads, None)
+
+    _PACKED_STEP_CACHE[key] = step
+    return step
+
+
 def build_pallas_keyed_packed_step(plan: DecodePlan, width: int,
                                    TB: int | None = None):
     """Wire-format keyed step with the fused kernel inside (cached like

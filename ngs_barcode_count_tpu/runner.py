@@ -369,6 +369,29 @@ class CountAccumulator:
                 self._pallas_keyed_steps[width] = None
         return self._pallas_keyed_steps[width]
 
+    def _pallas_bitmap_step_for(self, width: int):
+        """Fused-kernel bytemap step (small-combo random mode; same
+        gating as the other kernel steps)."""
+        if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
+            return None
+        import jax
+
+        if jax.devices()[0].platform == "cpu":
+            return None
+        if not hasattr(self, "_pallas_bitmap_steps"):
+            self._pallas_bitmap_steps = {}
+        if width not in self._pallas_bitmap_steps:
+            from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+            try:
+                self._pallas_bitmap_steps[width] = (
+                    pdec.build_pallas_bitmap_step(self.plan, width)
+                )
+            except Exception as e:
+                _warn_kernel_fallback("bitmap", f"width={width}", e)
+                self._pallas_bitmap_steps[width] = None
+        return self._pallas_bitmap_steps[width]
+
     def _pallas_hashset_step_for(self, width: int, cap: int):
         """Random-mode hash-set step with the fused kernel as decode
         front end (same gating as the keyed step; the dedup tail is the
@@ -565,7 +588,18 @@ class CountAccumulator:
         pb.lengths = self._lengths_dev(pb.lengths)
         self._shard_packed(pb)
         if self.bitmap is not None:
-            if pb.quals is not None:
+            pstep = (
+                self._pallas_bitmap_step_for(pb.width)
+                if pb.packed.shape[0] % 256 == 0 and self.shardings is None
+                else None
+            )
+            if pstep is not None:
+                q = (pb.quals,) if pb.quals is not None else ()
+                self.bitmap, self.dense_counters = pstep(
+                    self.bitmap, self.dense_counters, pb.packed,
+                    pb.lengths, pb.exc_idx, pb.exc_val, n, *q,
+                )
+            elif pb.quals is not None:
                 self.bitmap, self.dense_counters = (
                     dec.random_bitmap_step_packed_q(
                         plan, self.bitmap, self.dense_counters, pb.packed,

@@ -502,3 +502,77 @@ def test_packed_input_kernel_bit_identical(dense_setup, rng):
     flat_p, st_p = f_pk(pb.packed, epk, lengths, n)
     np.testing.assert_array_equal(np.asarray(st_u), np.asarray(st_p))
     np.testing.assert_array_equal(np.asarray(flat_u), np.asarray(flat_p))
+
+
+def test_pallas_bitmap_step_equals_xla(tmp_path, rng):
+    """The fused-kernel bytemap step (small-combo random mode) must be
+    bit-identical to the XLA front end: bytemap and counters."""
+    import tempfile
+
+    from ngs_barcode_count_tpu.conversions import BarcodeConversions, BarcodeSet
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from ngs_barcode_count_tpu.utils import simulate
+
+    scheme = parse_scheme_text("[4]\nACGT\n{5}\nTGCA\n(4)\nTAG\n")
+    conv = BarcodeConversions()
+    samples = ["AAAA", "CCCC"]
+    conv.samples_barcode_hash = {s: f"S{i}" for i, s in enumerate(samples)}
+    conv.sample_set = BarcodeSet.from_pairs(
+        [(s, f"S{i}") for i, s in enumerate(samples)], 4
+    )
+    bcs = ["AAAAA", "CCCCC", "GGGGG"]
+    conv.counted_barcodes_hash = [
+        {b: f"B{j}" for j, b in enumerate(bcs)}
+    ]
+    conv.counted_sets = [
+        BarcodeSet.from_pairs([(b, f"B{j}") for j, b in enumerate(bcs)], 5)
+    ]
+    me = MaxSeqErrors.create(None, 4, None, [5], None,
+                             scheme.constant_region_length, 0.0)
+    plan = dec.make_plan(scheme, conv, me)
+
+    reads, quals = [], []
+    for _ in range(300):
+        r = simulate.make_read(
+            rng, scheme, samples[rng.integers(0, 2)],
+            [bcs[rng.integers(0, 3)]],
+            flank_left=int(rng.integers(0, 5)),
+            flank_right=int(rng.integers(0, 5)),
+            n_errors=int(rng.integers(0, 4)),
+        )
+        reads.append(r)
+        quals.append("I" * len(r))
+    with tempfile.TemporaryDirectory() as td:
+        fq = td + "/b.fastq"
+        simulate.write_fastq(fq, reads, quals)
+        pb = next(iter(read_fastq_packed_parallel(
+            fq, min_width=scheme.length, batch_reads=512,
+        )))
+    if getattr(pb, "transposed", False):
+        pb.packed = np.ascontiguousarray(pb.packed.T)
+        pb.transposed = False
+    n = np.array([pb.n_reads], np.int32)
+    c6 = 6 ** scheme.random_slot.length
+    n_bytes = plan.n_samples * plan.n_combos * c6
+
+    bm_x = jnp.zeros(n_bytes, jnp.uint8)
+    ctr_x = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    bm_x, ctr_x = dec.random_bitmap_step_packed(
+        plan, bm_x, ctr_x, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+        pb.width, n,
+    )
+    pstep = pdec.build_pallas_bitmap_step(
+        plan, pb.width, TB=8, interpret=True
+    )
+    bm_p = jnp.zeros(n_bytes, jnp.uint8)
+    ctr_p = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    bm_p, ctr_p = pstep(
+        bm_p, ctr_p, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n
+    )
+    np.testing.assert_array_equal(np.asarray(ctr_x), np.asarray(ctr_p))
+    np.testing.assert_array_equal(np.asarray(bm_x), np.asarray(bm_p))
+    assert int(np.asarray(bm_x).sum()) > 0
