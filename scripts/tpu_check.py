@@ -549,6 +549,104 @@ def _check_sharded_n1(workdir, results):
             os.environ["NGS_DECODE_KERNEL"] = prev_kernel
 
 
+def _check_bitmap(workdir, results):
+    """Fused-kernel bytemap step == XLA bytemap step on a small-combo
+    random scheme (the CRISPR-UMI shape; round 4 moved this mode onto
+    the keyed kernel)."""
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.conversions import (
+        BarcodeConversions,
+        BarcodeSet,
+    )
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.scheme import parse_scheme_text
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    scheme = parse_scheme_text(
+        "[10]\nAGCTACGAATCG\n{6}\nTGGA\n{6}\nACTAGAT\n(6)\nTAGA\n"
+    )
+    rng = np.random.default_rng(13)
+    samples = ["AGCATACGTT", "AACTTACCAT"]
+    sets = []
+    for _ in range(2):
+        seen = set()
+        while len(seen) < 24:
+            seen.add("".join("ACGT"[i] for i in rng.integers(0, 4, 6)))
+        sets.append(sorted(seen))
+    conv = BarcodeConversions()
+    conv.samples_barcode_hash = {s: f"S{i}" for i, s in enumerate(samples)}
+    conv.sample_set = BarcodeSet.from_pairs(
+        [(s, f"S{i}") for i, s in enumerate(samples)], 10
+    )
+    conv.counted_barcodes_hash = [
+        {b: f"B{i}_{j}" for j, b in enumerate(st)}
+        for i, st in enumerate(sets)
+    ]
+    conv.counted_sets = [
+        BarcodeSet.from_pairs(
+            [(b, f"B{i}_{j}") for j, b in enumerate(st)], 6
+        )
+        for i, st in enumerate(sets)
+    ]
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6], None, scheme.constant_region_length, 0.0
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    n_bytes = plan.n_samples * plan.n_combos * 6 ** 6
+    path = os.path.join(workdir, f"tpucheck_bitmap_{N_READS}.fastq")
+    if not os.path.exists(path):
+        left, first = N_READS, True
+        g = np.random.default_rng(17)
+        while left > 0:
+            n = min(1_000_000, left)
+            seq, qual = simulate_fast.generate_reads(
+                g, scheme, n, samples, sets, sub_error_rate=0.02
+            )
+            simulate_fast.write_fastq_bytes(path, seq, qual,
+                                            append=not first)
+            first = False
+            left -= n
+    bm_x = jnp.zeros(n_bytes, jnp.uint8)
+    ctr_x = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    bm_p = jnp.zeros(n_bytes, jnp.uint8)
+    ctr_p = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    pstep = None
+    total = 0
+    for pb in read_fastq_packed_parallel(
+        path, min_width=scheme.length, batch_reads=BATCH,
+    ):
+        pb = _rowmajor(pb)
+        n = np.array([pb.n_reads], np.int32)
+        if pstep is None:
+            pstep = pdec.build_pallas_bitmap_step(plan, pb.width)
+        bm_x, ctr_x = dec.random_bitmap_step_packed(
+            plan, bm_x, ctr_x, pb.packed, pb.lengths, pb.exc_idx,
+            pb.exc_val, pb.width, n,
+        )
+        bm_p, ctr_p = pstep(
+            bm_p, ctr_p, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val, n
+        )
+        total += pb.n_reads
+        print(f"[tpu_check] bitmap: {total}", flush=True)
+    import jax
+
+    eq = bool(jnp.array_equal(bm_x, bm_p)) and bool(
+        jnp.array_equal(ctr_x, ctr_p)
+    )
+    results["bitmap_random"] = {
+        "equal": eq,
+        "n_reads": total,
+        "distinct_triples": int(jnp.sum(bm_x.astype(jnp.int32))),
+    }
+
+
 def _bench_hashset_device(workdir, results):
     """Machine-captured device-resident random-mode throughput (VERDICT
     r2 next #3): one staged batch, K repeated fused hashset steps, reads
@@ -641,6 +739,7 @@ def main():
     _check_keyed_rawdna(workdir, results)
     _check_keyed_megacombo(workdir, results)
     _check_sharded_n1(workdir, results)
+    _check_bitmap(workdir, results)
     _bench_hashset_device(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)
