@@ -154,6 +154,12 @@ def main():
         # has no use for (bit-exact; +4%).
         os.environ.setdefault("NGS_DUAL_STREAM", "4")
         os.environ.setdefault("NGS_SCAN_LANE", "8")
+    if not claim_error:
+        # 3 dispatch lanes overlap the relay's blocking h2d transfers
+        # with dispatch overhead: +37% e2e measured same-phase (3.42M vs
+        # 2.49M sustained, R4_SESSION.json N_dual_stream; bit-exact —
+        # lanes are independent count tensors summed at flush)
+        os.environ.setdefault("NGS_DUAL_STREAM", "3")
     # 128k reads/batch: per-batch wall time through the relay is
     # super-linear in transfer size, so small batches pipeline ~2.4x
     # better than the 1M-read batches used previously (measured A/B:
