@@ -416,3 +416,70 @@ def test_fuzzed_packed_input_kernel(tmp_path, seed):
         np.testing.assert_array_equal(
             np.asarray(flat_u), np.asarray(flat_p), err_msg=text
         )
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_packed_input_keyed_kernel(tmp_path, seed):
+    """Keyed-mode deint kernel (wire emission incl. word packing over
+    deint rows) vs the unpacked keyed kernel across fuzzed schemes with
+    random/raw regions."""
+    import tempfile
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.ops.decode import unpack_bases
+
+    rng = np.random.default_rng(31000 + seed)
+    checked = 0
+    while checked < 2:
+        text = _random_scheme_text(rng)
+        scheme = parse_scheme_text(text)
+        if scheme.random_slot is None and rng.random() < 0.7:
+            continue  # prefer keyed-shaped schemes
+        conv, samples, sets = _tables(rng, scheme)
+        me = MaxSeqErrors.create(
+            None, scheme.sample_length, None, scheme.barcode_lengths,
+            None, scheme.constant_region_length, 0.0,
+        )
+        plan = dec.make_plan(scheme, conv, me)
+        if plan.dense_counts:
+            continue
+        reads, quals = _reads(rng, scheme, samples, sets, 200)
+        with tempfile.TemporaryDirectory() as td:
+            fq = td + "/f.fastq"
+            simulate.write_fastq(fq, reads, quals)
+            pb = next(iter(read_fastq_packed_parallel(
+                fq, min_width=scheme.length, batch_reads=256,
+            )))
+        if getattr(pb, "transposed", False):
+            pb.packed = np.ascontiguousarray(pb.packed.T)
+            pb.transposed = False
+        n = np.array([pb.n_reads], np.int32)
+        lengths = np.asarray(pb.lengths).astype(np.int32)
+        try:
+            f_pk = pdec.build_pallas_decode_keyed(
+                plan, pb.width, TB=8, interpret=True, packed_input=True
+            )
+        except ValueError:
+            continue
+        f_unp = pdec.build_pallas_decode_keyed(
+            plan, pb.width, TB=8, interpret=True
+        )
+        bases = unpack_bases(pb.packed, pb.exc_idx, pb.exc_val, pb.width)
+        wire_u, st_u = f_unp(bases, lengths, n)
+        epk = pdec.exc_plane(pb.exc_idx, pb.exc_val, 256, pb.width)
+        wire_p, st_p = f_pk(pb.packed, epk, lengths, n)
+        np.testing.assert_array_equal(
+            np.asarray(st_u), np.asarray(st_p), err_msg=text
+        )
+        # wire rows must agree on valid reads (invalid rows may hold
+        # garbage slot words on both sides; the host masks by valid)
+        su = np.asarray(st_u)
+        valid = su == pdec.ST_VALID
+        np.testing.assert_array_equal(
+            np.asarray(wire_u)[valid], np.asarray(wire_p)[valid],
+            err_msg=text,
+        )
+        checked += 1
