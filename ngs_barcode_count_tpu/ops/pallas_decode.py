@@ -714,6 +714,65 @@ def _front_key_bound(n_const: int, O_pad: int, n_wild: int) -> int:
     return (n_const + 1) * _next_pow2(O_pad) * _next_pow2(n_wild + 1)
 
 
+def _deint2_index(t: int, W: int) -> int:
+    """True position t -> deinterleaved-2 column (the layout the 4-bit
+    quality nibbles expand into without any reorder: low nibbles = even
+    positions in block 0, high nibbles = odd positions in block 1)."""
+    return (t % 2) * (W // 2) + t // 2
+
+
+def _qual_window_matrix(plan: DecodePlan, W: int, O: int,
+                        O_pad: int) -> np.ndarray:
+    """[W, n_segs*O_pad] f32: one matmul turns deint-2 quality values
+    into every (segment, offset) windowed SUM — replacing the
+    seg.length-step slice-add loop AND freeing the kernel from needing
+    true-position quality order.  Column (si*O_pad + o) sums true
+    positions seg.start+o .. seg.start+o+len-1 (the reference's
+    regions_string-indexed window, quirks included); rows are deint-2
+    positions.  Exact: quality values are small ints, window sums stay
+    far below 2^24."""
+    n_segs = len(plan.qual_segments)
+    Wq = np.zeros((W, max(n_segs, 1) * O_pad), np.float32)
+    for si, seg in enumerate(plan.qual_segments):
+        for o in range(O):
+            for r in range(seg.length):
+                t = seg.start + o + r
+                if t < W:
+                    Wq[_deint2_index(t, W), si * O_pad + o] = 1.0
+    return Wq
+
+
+def _kernel_quality_gate_q4(plan, q2, cb_ref, wq_ref, o_idx, O, O_pad,
+                            offset, has_exact, exact_off, const_ok, TB):
+    """Quality gate on the 4-bit WIRE: ``q2`` [TB, W] int32 nibble codes
+    in deint-2 order (in-kernel expand of quals_packed), ``cb_ref`` the
+    per-batch codebook (scalar-prefetched [16] int32).  Decodes codes ->
+    Phred via a 16-way select chain, then ONE matmul against the static
+    window matrix gives every (segment, offset) sum.  Bit-identical to
+    _kernel_quality_gate on the reconstructed tensor: both compute
+    exact integer sums in f32."""
+    if plan.fix_quirks:
+        qual_start = offset
+    else:
+        qual_start = jnp.where(has_exact, exact_off, 0)
+    qf = jnp.zeros(q2.shape, jnp.float32)
+    for k in range(16):
+        qf = jnp.where(q2 == k, cb_ref[k].astype(jnp.float32), qf)
+    wsum_all = jnp.dot(
+        qf.astype(jnp.bfloat16), wq_ref[...],
+        preferred_element_type=jnp.float32,
+    )  # [TB, n_segs*O_pad]; Phred <= 63 is bf16-exact
+    sel2 = ((o_idx == qual_start) & (o_idx < O)).astype(jnp.float32)
+    lowq = jnp.zeros((TB, 1), bool)
+    for si, seg in enumerate(plan.qual_segments):
+        ssum = jnp.sum(
+            sel2 * wsum_all[:, si * O_pad : (si + 1) * O_pad],
+            axis=1, keepdims=True,
+        )
+        lowq = lowq | (ssum / jnp.float32(seg.length) < plan.min_quality)
+    return const_ok & lowq
+
+
 def _kernel_quality_gate(plan, qualsf, o_idx, O, offset, has_exact,
                          exact_off, const_ok, TB):
     """Fused segment-mean quality check (reference parse.rs:331-375
@@ -755,7 +814,8 @@ def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
 
 def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                         interpret: bool = False,
-                        packed_input: bool = False):
+                        packed_input: bool = False,
+                        qual_wire: bool = False):
     """Compile the fused kernel for width L.  Returns jitted
     fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32[, quals])
     -> (flat [B] int32, status [B] int32); B must be a multiple of TB.
@@ -767,7 +827,13 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     (packed [B, L/4] uint8, exc_plane [B, L/4] uint8, lengths, n_reads
     [, quals]) and the 2-bit expand runs IN-KERNEL (the XLA unpack
     prologue measured 29 ns/read vs ~2 in-kernel — R4_SESSION.json).
-    Bit-identical results; requires the fused all-slot matcher."""
+    Bit-identical results; requires the fused all-slot matcher.
+
+    ``qual_wire=True`` (requires packed_input + a quality gate): the
+    quality argument becomes the 4-BIT WIRE pair (quals_packed
+    [B, L/2] uint8, codebook [16] int32) and the nibble decode +
+    segment-window sums run in-kernel (_kernel_quality_gate_q4) — no
+    XLA quality-unpack prologue."""
     scheme = plan.scheme
     F = scheme.length
     if L < F:
@@ -808,12 +874,23 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         W_all = _expand_rows_to_width(W_all, F, L, 5)
         if 2 * W_all.size > _FUSED_MATCH_VMEM * 2:
             raise ValueError("deint matcher matrix exceeds VMEM budget")
+    if qual_wire and not (packed_input and with_quals):
+        raise ValueError(
+            "qual_wire requires packed_input and an active quality gate"
+        )
+    W_qual = (
+        _qual_window_matrix(plan, L, O, O_pad) if qual_wire else None
+    )
     match_L = L if packed_input else F
     radix = plan.combo_radix
     n_combos = int(np.prod(radix)) if radix else 1
     has_sample = scheme.sample_slot is not None
 
-    def kernel(n_reads_ref, lengths_ref, *refs):
+    def kernel(n_reads_ref, *prefix):
+        if qual_wire:
+            cb_ref, lengths_ref, *refs = prefix
+        else:
+            lengths_ref, *refs = prefix
         if packed_input:
             packed_ref, epk_ref = refs[0], refs[1]
             refs = refs[2:]
@@ -828,7 +905,11 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             refs = refs[1:]
         n_mats = 1 if W_all is not None else len(slot_mats)
         slot_w_refs = refs[:n_mats]
-        flat_ref, status_ref = refs[n_mats:]
+        refs = refs[n_mats:]
+        if qual_wire:
+            wq_ref = refs[0]
+            refs = refs[1:]
+        flat_ref, status_ref = refs
 
         tile = pl.program_id(0)
         if packed_input:
@@ -859,10 +940,18 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         )  # [TB, 1]
         ok_so_far = const_ok
         if with_quals:
-            lowq = _kernel_quality_gate(
-                plan, quals_ref[...].astype(jnp.float32), o_idx, O, offset,
-                has_exact, exact_off, const_ok, TB,
-            )
+            if qual_wire:
+                qp = quals_ref[...].astype(jnp.int32)  # [TB, L/2]
+                q2 = jnp.concatenate([qp & 15, qp >> 4], axis=1)
+                lowq = _kernel_quality_gate_q4(
+                    plan, q2, cb_ref, wq_ref, o_idx, O, O_pad, offset,
+                    has_exact, exact_off, const_ok, TB,
+                )
+            else:
+                lowq = _kernel_quality_gate(
+                    plan, quals_ref[...].astype(jnp.float32), o_idx, O,
+                    offset, has_exact, exact_off, const_ok, TB,
+                )
             status = jnp.where(lowq, ST_LOWQ, status)
             ok_so_far = const_ok & ~lowq
         combo = jnp.zeros((TB, 1), jnp.int32)
@@ -891,12 +980,17 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     )
 
     def fn_unpacked(bases, lengths, n_reads, quals=None):
-        return _call(bases, None, lengths, n_reads, quals)
+        return _call(bases, None, lengths, n_reads, quals, None)
 
     def fn_packed(packed, epk, lengths, n_reads, quals=None):
-        return _call(packed, epk, lengths, n_reads, quals)
+        return _call(packed, epk, lengths, n_reads, quals, None)
 
-    def _call(data, epk, lengths, n_reads, quals):
+    def fn_packed_q4(packed, epk, lengths, n_reads, quals_packed,
+                     codebook):
+        return _call(packed, epk, lengths, n_reads, quals_packed,
+                     codebook)
+
+    def _call(data, epk, lengths, n_reads, quals, codebook):
         B = data.shape[0]
         if B % TB:
             raise ValueError(f"batch {B} not a multiple of tile {TB}")
@@ -905,10 +999,10 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             pl.BlockSpec((TB, 1), lambda i, *_: (i, 0),
                          memory_space=pltpu.VMEM),
         ]
-        args = [
-            n_reads.astype(jnp.int32),
-            lengths.astype(jnp.int32)[:, None],
-        ]
+        args = [n_reads.astype(jnp.int32)]
+        if qual_wire:
+            args.append(codebook.astype(jnp.int32))
+        args.append(lengths.astype(jnp.int32)[:, None])
         if packed_input:
             in_specs += [
                 pl.BlockSpec((TB, L // 4), lambda i, *_: (i, 0),
@@ -926,8 +1020,9 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         if with_quals:
             if quals is None:
                 raise ValueError("quality gate on: quals required")
+            qw = L // 2 if qual_wire else L
             in_specs.append(
-                pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                pl.BlockSpec((TB, qw), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
             )
             args.append(quals)
@@ -937,10 +1032,16 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
             for w in consts_np
         ]
         args += [jnp.asarray(w, _mm_dtype()) for w in consts_np]
+        if qual_wire:
+            in_specs.append(
+                pl.BlockSpec(W_qual.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+            )
+            args.append(jnp.asarray(W_qual, jnp.bfloat16))
         flat, status = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=2 if qual_wire else 1,
                 grid=grid,
                 in_specs=in_specs,
                 out_specs=[
@@ -958,6 +1059,8 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         )(*args)
         return flat[:, 0], status[:, 0]
 
+    if qual_wire:
+        return jax.jit(fn_packed_q4)
     return jax.jit(fn_packed if packed_input else fn_unpacked)
 
 
@@ -965,7 +1068,8 @@ _PACKED_STEP_CACHE: dict = {}
 
 
 def build_pallas_packed_step(plan: DecodePlan, width: int,
-                             TB: int | None = None):
+                             TB: int | None = None,
+                             qual_wire: bool = False):
     """Wire-format dense step with the fused kernel inside: one jit doing
     2-bit unpack + exception scatter -> Pallas decode -> count scatter.
     Drop-in replacement for ops.decode.dense_count_step_packed (measured
@@ -980,7 +1084,10 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     if TB is None:
         TB = _auto_tb(plan, width)
     packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
-    key = (id(plan), width, TB, _variant_key(), packed_input)
+    with_quals = plan.min_quality > 0.0
+    if qual_wire and not (packed_input and with_quals):
+        raise ValueError("qual_wire step needs packed_input + quality")
+    key = (id(plan), width, TB, _variant_key(), packed_input, qual_wire)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -988,16 +1095,19 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
     from ngs_barcode_count_tpu import stats
     from ngs_barcode_count_tpu.ops.decode import unpack_bases
 
-    if packed_input:
+    if qual_wire:
+        decode_fn = build_pallas_decode(
+            plan, width, TB=TB, packed_input=True, qual_wire=True
+        )  # ValueError propagates: caller falls back to the raw step
+    elif packed_input:
         try:
             decode_fn = build_pallas_decode(
                 plan, width, TB=TB, packed_input=True
             )
         except ValueError:
             packed_input = False  # per-slot matcher etc.: XLA unpack
-    if not packed_input:
+    if not packed_input and not qual_wire:
         decode_fn = build_pallas_decode(plan, width, TB=TB)
-    with_quals = plan.min_quality > 0.0
 
     def _tally(counts, counters, flat, status):
         valid = status == ST_VALID
@@ -1012,7 +1122,14 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
         add = add.at[stats.LOW_QUALITY].set(jnp.sum(status == ST_LOWQ))
         return counts, counters + add
 
-    def _decode(packed, lengths, exc_idx, exc_val, n_reads, quals):
+    def _decode(packed, lengths, exc_idx, exc_val, n_reads, quals,
+                codebook=None):
+        if qual_wire:
+            epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
+            return decode_fn(
+                packed, epk, lengths.astype(jnp.int32),
+                n_reads.astype(jnp.int32), quals, codebook,
+            )
         extra = () if quals is None else (quals,)
         if packed_input:
             epk = exc_plane(exc_idx, exc_val, packed.shape[0], width)
@@ -1026,7 +1143,18 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
             *extra,
         )
 
-    if with_quals:
+    if qual_wire:
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1))
+        def step(counts, counters, packed, lengths, exc_idx, exc_val,
+                 n_reads, quals_packed, codebook):
+            flat, status = _decode(
+                packed, lengths, exc_idx, exc_val, n_reads,
+                quals_packed, codebook,
+            )
+            return _tally(counts, counters, flat, status)
+
+    elif with_quals:
 
         @functools.partial(jax.jit, donate_argnums=(0, 1))
         def step(counts, counters, packed, lengths, exc_idx, exc_val,

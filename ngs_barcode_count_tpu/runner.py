@@ -313,10 +313,13 @@ class CountAccumulator:
                 # the cross-host union at flush is the dedup
                 self.dedup = RandomDedup()
 
-    def _pallas_step_for(self, width: int):
+    def _pallas_step_for(self, width: int, qual_wire: bool = False):
         """Fused-kernel step, built per read width.  Only on real TPU
         backends (Mosaic does not lower on CPU) and unless disabled via
-        NGS_DECODE_KERNEL=xla."""
+        NGS_DECODE_KERNEL=xla.  ``qual_wire=True`` requests the variant
+        that decodes the 4-bit quality wire IN-KERNEL (None when the
+        deint kernel is unavailable — the caller reconstructs raw quals
+        and uses the plain step)."""
         # Pallas everywhere since round 4: with the deinterleaved
         # packed-input kernel the Pallas step beats the XLA path even
         # through the axon relay (e2e 2.75M vs 2.23M sustained in the
@@ -326,23 +329,34 @@ class CountAccumulator:
         # overrides.
         if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
             return None
+        if qual_wire and os.environ.get(
+            "NGS_KERNEL_PACKED_INPUT", "1"
+        ) != "1":
+            return None
         import jax
 
         if jax.devices()[0].platform == "cpu":
             return None
         if not hasattr(self, "_pallas_steps"):
             self._pallas_steps = {}
-        if width not in self._pallas_steps:
+        key = (width, qual_wire)
+        if key not in self._pallas_steps:
             from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
             try:
-                self._pallas_steps[width] = pdec.build_pallas_packed_step(
-                    self.plan, width
+                self._pallas_steps[key] = pdec.build_pallas_packed_step(
+                    self.plan, width, qual_wire=qual_wire
                 )
             except Exception as e:
-                _warn_kernel_fallback("dense packed", f"width={width}", e)
-                self._pallas_steps[width] = None
-        return self._pallas_steps[width]
+                # a failed qual_wire build falls back silently to the
+                # plain quality path (raw reconstruction), which warns
+                # itself if IT cannot build
+                if not qual_wire:
+                    _warn_kernel_fallback(
+                        "dense packed", f"width={width}", e
+                    )
+                self._pallas_steps[key] = None
+        return self._pallas_steps[key]
 
     def _pallas_keyed_step_for(self, width: int):
         """Keyed-mode fused-kernel step.  Unlike the dense path, Pallas
@@ -441,7 +455,6 @@ class CountAccumulator:
         compression-friendly layout; the device-side transpose is a
         ~0.1ms copy."""
         if not getattr(pb, "transposed", False):
-            self._unpack_quals(pb)
             return
         if not hasattr(self, "_untranspose_fn"):
             import jax
@@ -451,14 +464,15 @@ class CountAccumulator:
         if getattr(pb, "quals_packed", None) is not None:
             pb.quals_packed = self._untranspose_fn(pb.quals_packed)
         pb.transposed = False
-        self._unpack_quals(pb)
 
-    def _unpack_quals(self, pb) -> None:
+    def _ensure_raw_quals(self, pb) -> None:
         """4-bit quality wire -> the raw [B, W] int8 Phred tensor ON
         DEVICE (one tiny jit; the codebook gather reconstructs the
-        identical tensor, so every downstream path — Pallas, XLA,
-        engines, shardings — is unchanged).  The wire saving already
-        happened: quals_packed crossed the link at 4 bits/base."""
+        identical tensor) for paths without an in-kernel q4 decode —
+        XLA steps, engines, shardings, keyed/hashset/bitmap.  The wire
+        saving already happened: quals_packed crossed the link at
+        4 bits/base.  The dense Pallas path skips this entirely: its
+        qual_wire kernel decodes the nibbles in-kernel."""
         if getattr(pb, "quals_packed", None) is None:
             return
         pb.quals = dec.unpack_quals_wire(
@@ -507,6 +521,21 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         self._untranspose(pb)
+        # dense single-device Pallas runs decode the 4-bit quality wire
+        # IN-KERNEL; every other path reconstructs raw quals first
+        q4step = None
+        if (
+            getattr(pb, "quals_packed", None) is not None
+            and self.hashset_engine is None
+            and self.hashset is None
+            and self.engine is None
+            and self.bitmap is None
+            and self.shardings is None
+            and pb.packed.shape[0] % 256 == 0
+        ):
+            q4step = self._pallas_step_for(pb.width, qual_wire=True)
+        if q4step is None:
+            self._ensure_raw_quals(pb)
         if self.hashset_engine is not None:
             if not hasattr(self, "_hse_steps"):
                 self._hse_steps = {}
@@ -614,6 +643,13 @@ class CountAccumulator:
                         pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n,
                     )
                 )
+            return
+        if q4step is not None:
+            self.dense_state, self.dense_counters = q4step(
+                self.dense_state, self.dense_counters, pb.packed,
+                pb.lengths, pb.exc_idx, pb.exc_val, n,
+                pb.quals_packed, pb.qual_codebook,
+            )
             return
         if pb.packed.shape[0] % 256 == 0:
             pstep = self._pallas_step_for(pb.width)
@@ -889,6 +925,7 @@ class CountAccumulator:
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         self._untranspose(pb)
+        self._ensure_raw_quals(pb)
         pb.lengths = self._lengths_dev(pb.lengths)
         self._shard_packed(pb)
         # pallas_call under auto-SPMD jit with sharded inputs is at best

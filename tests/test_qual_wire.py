@@ -160,3 +160,77 @@ def test_qual_wire_sharded_engine(tmp_path, rng, monkeypatch):
     )
     np.testing.assert_array_equal(c1, c2)
     assert v1 == v2
+
+
+def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
+    """The in-kernel 4-bit quality decode (qual_wire kernel variant)
+    must equal the raw-quals kernel bit-for-bit on binned quality."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.ops.decode import (
+        unpack_bases,
+        unpack_quals_wire,
+    )
+    from ngs_barcode_count_tpu.utils import simulate
+    from tests.test_decode_vs_oracle import build_plan
+    from tests.test_end_to_end import BC1, BC2, BC3, SAMPLES
+    from tests.test_pallas_decode import _strip_random
+
+    scheme = _strip_random(None)
+    plan, oracle, conv = build_plan(scheme, min_quality=30.0)
+    levels = [22, 27, 32, 37, 40]
+    reads, quals = [], []
+    for _ in range(300):
+        r = simulate.make_read(
+            rng, scheme, list(SAMPLES)[rng.integers(0, 2)],
+            [s[rng.integers(0, 3)] for s in (BC1, BC2, BC3)],
+            flank_left=int(rng.integers(0, 6)),
+            flank_right=int(rng.integers(0, 6)),
+            n_errors=int(rng.integers(0, 5)),
+        )
+        reads.append(r)
+        q = [levels[i] for i in rng.integers(0, len(levels), len(r))]
+        quals.append("".join(chr(v + 33) for v in q))
+    monkeypatch.setenv("NGS_QUAL_WIRE", "pack")
+    with tempfile.TemporaryDirectory() as td:
+        fq = td + "/q.fastq"
+        simulate.write_fastq(fq, reads, quals)
+        pb = next(iter(read_fastq_packed_parallel(
+            fq, min_width=scheme.length, batch_reads=512, with_quals=True,
+        )))
+    if getattr(pb, "transposed", False):
+        pb.packed = np.ascontiguousarray(pb.packed.T)
+        if pb.quals_packed is not None:
+            pb.quals_packed = np.ascontiguousarray(pb.quals_packed.T)
+        pb.transposed = False
+    assert pb.quals_packed is not None
+    n = np.array([pb.n_reads], np.int32)
+    lengths = np.asarray(pb.lengths).astype(np.int32)
+    epk = pdec.exc_plane(pb.exc_idx, pb.exc_val, 512, pb.width)
+
+    f_raw = pdec.build_pallas_decode(
+        plan, pb.width, TB=8, interpret=True, packed_input=True
+    )
+    quals_raw = unpack_quals_wire(
+        pb.quals_packed, pb.qual_codebook, pb.width
+    )
+    flat_r, st_r = f_raw(pb.packed, epk, lengths, n, quals_raw)
+
+    f_q4 = pdec.build_pallas_decode(
+        plan, pb.width, TB=8, interpret=True, packed_input=True,
+        qual_wire=True,
+    )
+    flat_q, st_q = f_q4(
+        pb.packed, epk, lengths, n, pb.quals_packed,
+        jnp.asarray(pb.qual_codebook, jnp.int32),
+    )
+    st_r, st_q = np.asarray(st_r), np.asarray(st_q)
+    np.testing.assert_array_equal(st_r, st_q)
+    np.testing.assert_array_equal(np.asarray(flat_r), np.asarray(flat_q))
+    assert (st_r == pdec.ST_LOWQ).sum() > 0  # the gate actually fired
