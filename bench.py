@@ -101,6 +101,8 @@ def _rowmajor(pb):
         import numpy as _np
 
         pb.packed = _np.ascontiguousarray(pb.packed.T)
+        if getattr(pb, "quals_packed", None) is not None:
+            pb.quals_packed = _np.ascontiguousarray(pb.quals_packed.T)
         pb.transposed = False
     return pb
 

@@ -93,6 +93,8 @@ def _rowmajor(pb):
         import numpy as _np
 
         pb.packed = _np.ascontiguousarray(pb.packed.T)
+        if getattr(pb, "quals_packed", None) is not None:
+            pb.quals_packed = _np.ascontiguousarray(pb.quals_packed.T)
         pb.transposed = False
     return pb
 
@@ -549,6 +551,94 @@ def _check_sharded_n1(workdir, results):
             os.environ["NGS_DECODE_KERNEL"] = prev_kernel
 
 
+def _check_q4(workdir, results):
+    """In-kernel 4-bit quality decode == raw-quals kernel on BINNED
+    quality (the config the 4-bit wire actually engages on; the plain
+    q30 check's 19-distinct quality falls back to raw)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+    from ngs_barcode_count_tpu.utils import simulate_fast
+
+    scheme, conv, samples, sets = _inputs(random_barcode=False)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None,
+        scheme.constant_region_length, 30.0,
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    path = os.path.join(workdir, f"tpucheck_q4_{N_READS}.fastq")
+    if not os.path.exists(path):
+        g = np.random.default_rng(19)
+        levels = np.array([25, 37, 40], np.uint8)
+        left, first = N_READS, True
+        while left > 0:
+            n = min(1_000_000, left)
+            seq, qual = simulate_fast.generate_reads(
+                g, scheme, n, samples, sets, sub_error_rate=0.02,
+                qual_range=(22, 41),
+            )
+            q = qual - 33
+            binned = np.where(
+                q < 30, levels[0], np.where(q < 38, levels[1], levels[2])
+            ).astype(np.uint8) + 33
+            simulate_fast.write_fastq_bytes(path, seq, binned,
+                                            append=not first)
+            first = False
+            left -= n
+    n_flat = plan.n_samples * plan.n_combos
+    c_q4 = jnp.zeros(n_flat, jnp.int32)
+    ctr_q4 = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    c_raw = jnp.zeros(n_flat, jnp.int32)
+    ctr_raw = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    sq4 = sraw = None
+    total = 0
+    for pb in read_fastq_packed_parallel(
+        path, min_width=scheme.length, batch_reads=BATCH, with_quals=True,
+    ):
+        pb = _rowmajor(pb)
+        if pb.quals_packed is None:
+            results["dense_q4_binned"] = {
+                "equal": False, "error": "4-bit wire did not engage",
+            }
+            return
+        n = np.array([pb.n_reads], np.int32)
+        lengths = np.asarray(pb.lengths)
+        if sq4 is None:
+            sq4 = pdec.build_pallas_packed_step(
+                plan, pb.width, qual_wire=True
+            )
+            sraw = pdec.build_pallas_packed_step(plan, pb.width)
+        c_q4, ctr_q4 = sq4(
+            c_q4, ctr_q4, pb.packed, lengths, pb.exc_idx, pb.exc_val, n,
+            pb.quals_packed, pb.qual_codebook,
+        )
+        quals = dec.unpack_quals_wire(
+            jax.device_put(pb.quals_packed),
+            jax.device_put(pb.qual_codebook), pb.width,
+        )
+        c_raw, ctr_raw = sraw(
+            c_raw, ctr_raw, pb.packed, lengths, pb.exc_idx, pb.exc_val,
+            n, quals,
+        )
+        total += pb.n_reads
+        print(f"[tpu_check] q4 binned: {total}", flush=True)
+    eq = bool(jnp.array_equal(c_q4, c_raw)) and bool(
+        jnp.array_equal(ctr_q4, ctr_raw)
+    )
+    results["dense_q4_binned"] = {
+        "equal": eq,
+        "n_reads": total,
+        "counters": np.asarray(ctr_q4).tolist(),
+    }
+
+
 def _check_bitmap(workdir, results):
     """Fused-kernel bytemap step == XLA bytemap step on a small-combo
     random scheme (the CRISPR-UMI shape; round 4 moved this mode onto
@@ -740,6 +830,7 @@ def main():
     _check_keyed_megacombo(workdir, results)
     _check_sharded_n1(workdir, results)
     _check_bitmap(workdir, results)
+    _check_q4(workdir, results)
     _bench_hashset_device(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)
