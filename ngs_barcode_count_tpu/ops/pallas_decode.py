@@ -19,10 +19,14 @@ Semantics are bit-identical to ops/decode.py (same oracle parity suite,
 plus compiled-vs-XLA equality on multi-million-read real-TPU runs).
 
 Kernels cover every decode configuration: dense counts (with or without
-the fused in-kernel quality gate) and the keyed modes (raw-DNA slots and
-random barcodes) via build_pallas_decode_keyed, which emits the wire
-matrix directly.  Selection: Pallas by default on direct-attached TPUs,
-XLA under an axon relay; ``NGS_DECODE_KERNEL`` overrides.
+the fused in-kernel quality gate — raw Phred or the 4-bit codebook wire
+decoded in-kernel), the keyed modes (raw-DNA slots and random barcodes)
+via build_pallas_decode_keyed, which emits the wire matrix directly,
+plus the fused hashset/bitmap/keyed wire steps.  Since round 4 the
+DEFAULT everywhere is the deinterleaved packed-input variant (2-bit
+unpack in-kernel; see the deint section below) and Pallas dispatch wins
+even on relay links; ``NGS_DECODE_KERNEL=xla`` /
+``NGS_KERNEL_PACKED_INPUT=0`` revert.
 """
 
 from __future__ import annotations

@@ -513,11 +513,12 @@ class CountAccumulator:
 
     def step_packed(self, pb) -> None:
         """Wire-format fast path (dense mode): 2-bit packed bases go
-        straight to the device; Phred lanes ship only when the quality
-        gate is on.  Decode runs through the fused Pallas kernel on TPU
-        (5x the XLA path) or the XLA path elsewhere.  Multi-device dense
-        runs keep the same wire format: rows shard over the mesh's data
-        axis and each device runs the kernel on its shard."""
+        straight to the device; quality ships as the 4-bit codebook wire
+        when the gate is on (decoded in-kernel on the dense path).
+        Decode runs through the fused deint Pallas kernel on TPU (~2x
+        the XLA path) or XLA elsewhere.  Multi-device dense runs keep
+        the same wire format: rows shard over the mesh's data axis and
+        each device runs the kernel on its shard."""
         plan = self.plan
         n = np.array([pb.n_reads], np.int32)
         self._untranspose(pb)
