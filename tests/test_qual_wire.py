@@ -234,3 +234,38 @@ def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(st_r, st_q)
     np.testing.assert_array_equal(np.asarray(flat_r), np.asarray(flat_q))
     assert (st_r == pdec.ST_LOWQ).sum() > 0  # the gate actually fired
+
+
+def test_qual_wire_hashset_engine(tmp_path, rng, monkeypatch):
+    """Packed quality through the device hash-set dedup mode (big combo
+    space): pack vs raw bit-identical."""
+    from tests.test_end_to_end import SCHEME_RANDOM_TEXT
+
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")  # force hashset
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 600, rng, quality_range=(25, 41),
+    )
+    # bin to 4 levels so the 4-bit wire engages
+    binned = []
+    levels = np.array([25, 30, 35, 40])
+    for q in quals:
+        arr = np.frombuffer(q.encode(), np.uint8) - 33
+        idx = np.clip((arr - 25) // 5, 0, 3)
+        binned.append("".join(chr(int(levels[i]) + 33) for i in idx))
+    from ngs_barcode_count_tpu.utils import simulate
+
+    simulate.write_fastq(fq, reads, binned)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 32.0
+
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    n2, c2, v2 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "pack"},
+                                    monkeypatch)
+    np.testing.assert_array_equal(c1, c2)
+    assert v1 == v2
+    assert c1[-1] > 0  # quality gate fired
