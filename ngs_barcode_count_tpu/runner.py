@@ -111,6 +111,25 @@ class RunResult:
     reads_per_second: float
 
 
+def _device_dedup_default() -> str:
+    """Random-mode dedup engine default: the on-device fingerprint table
+    on direct-attached hardware (its ceiling is the kernel — 8.1M
+    reads/s device-resident), the host keyed path under an axon relay
+    (measured 940k vs 599k e2e same-phase in round 4: the table path's
+    per-batch overflow fetches and donated-state chaining pipeline
+    poorly through a blocking relay, while the host path's deep keyed
+    wire queue hides the round trips).  NGS_DEVICE_DEDUP overrides."""
+    on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
+    if not on_relay:
+        return "1"
+    import jax
+
+    # the relay var rides in every process env on this sandbox; only a
+    # real relay-attached TPU backend should flip the default (CPU-mesh
+    # tests and fallbacks keep the table engine)
+    return "0" if jax.devices()[0].platform != "cpu" else "1"
+
+
 def _bitmap_fits(plan: dec.DecodePlan) -> bool:
     """The dedup bytemap must fit HBM (one byte per possible
     (sample, combo, random) triple)."""
@@ -207,7 +226,9 @@ class CountAccumulator:
             and random_dense_ids
             and allow_device_dedup
             and plan.scheme.random_slot.length <= 11
-            and os.environ.get("NGS_DEVICE_DEDUP", "1") == "1"
+            and os.environ.get(
+                "NGS_DEVICE_DEDUP", _device_dedup_default()
+            ) == "1"
         ):
             # multi-device random mode: the dedup table shards over the
             # data mesh; triples route to their slot's owner device with
@@ -257,7 +278,9 @@ class CountAccumulator:
             device_random_ok
             and allow_device_dedup
             and plan.scheme.random_slot.length <= 11  # 6^Lr < 2^31
-            and os.environ.get("NGS_DEVICE_DEDUP", "1") == "1"
+            and os.environ.get(
+                "NGS_DEVICE_DEDUP", _device_dedup_default()
+            ) == "1"
         ):
             # combo space too large for the exact bytemap: open-addressing
             # fingerprint table on device (ops/decode.py hash-set dedup);
