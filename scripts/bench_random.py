@@ -89,7 +89,8 @@ def main():
     )
     scheme, conv, me, plan, _ = setup(cfg)
     assert not plan.dense_counts
-    mode = "device_hashset" if os.environ.get("NGS_DEVICE_DEDUP", "1") == "1" else "host_keyed"
+    mode = None  # derived from the accumulator actually built below
+    # (the runner's NGS_DEVICE_DEDUP default is link-aware since r4)
 
     # big-combo path only: forbid the bytemap even if it would fit;
     # the production default then engages the device hash-set dedup
@@ -140,6 +141,12 @@ def main():
     times = []
     for _ in range(2):
         acc = CountAccumulator(plan, conv)
+        if mode is None:
+            mode = (
+                "device_hashset" if acc.hashset is not None
+                else "device_bitmap" if acc.bitmap is not None
+                else "host_keyed"
+            )
         t0 = time.perf_counter()
         total = decode_file(cfg, plan, scheme, acc)
         acc.finalize()
