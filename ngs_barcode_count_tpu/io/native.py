@@ -34,7 +34,7 @@ class PackedReads:
 
     __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
                  "n_reads", "width", "next_offset", "transposed",
-                 "range_id", "quals_packed", "qual_codebook")
+                 "range_id", "quals_packed", "qual_codebook", "qual_bits")
 
     def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
                  width, next_offset=-1, transposed=False, range_id=0):
@@ -43,11 +43,14 @@ class PackedReads:
         self.exc_idx = exc_idx
         self.exc_val = exc_val
         self.quals = quals
-        # lossless 4-bit Phred wire (parallel_ingest._maybe_pack_quals):
+        # lossless packed Phred wire (parallel_ingest._maybe_pack_quals):
         # when set, ``quals`` is None and the consumer reconstructs it
-        # as qual_codebook[nibbles of quals_packed]
+        # as qual_codebook[qual_bits-wide fields of quals_packed]
+        # (qual_bits = 2 when the batch has <= 4 distinct values —
+        # typical RTA binning — else 4 for <= 16, else raw)
         self.quals_packed = None
         self.qual_codebook = None
+        self.qual_bits = 0
         self.n_reads = n_reads
         self.width = width
         # byte offset of the next unread record (-1 when unknown):

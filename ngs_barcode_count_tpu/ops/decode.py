@@ -1040,15 +1040,20 @@ def pack_slot_words(codes: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=2)
-def unpack_quals_wire(quals_packed, codebook, width: int):
-    """[B, W/2] uint8 4-bit quality wire + [16] int8 codebook ->
+@partial(jax.jit, static_argnums=(2, 3))
+def unpack_quals_wire(quals_packed, codebook, width: int, bits: int = 4):
+    """[B, W/(8/bits)] uint8 packed quality wire + [16] int8 codebook ->
     [B, W] int8 Phred, bit-identical to the raw tensor the codec would
-    have shipped (io.parallel_ingest._maybe_pack_quals)."""
+    have shipped (io.parallel_ingest._maybe_pack_quals; ``bits`` = 4
+    for <= 16 distinct values, 2 for <= 4)."""
     B = quals_packed.shape[0]
-    lo = (quals_packed & 15).astype(jnp.int32)
-    hi = ((quals_packed >> 4) & 15).astype(jnp.int32)
-    codes = jnp.stack([lo, hi], axis=-1).reshape(B, -1)[:, :width]
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    fields = [
+        ((quals_packed >> (bits * k)) & mask).astype(jnp.int32)
+        for k in range(per)
+    ]
+    codes = jnp.stack(fields, axis=-1).reshape(B, -1)[:, :width]
     return codebook[codes]
 
 

@@ -718,23 +718,23 @@ def _front_key_bound(n_const: int, O_pad: int, n_wild: int) -> int:
     return (n_const + 1) * _next_pow2(O_pad) * _next_pow2(n_wild + 1)
 
 
-def _deint2_index(t: int, W: int) -> int:
-    """True position t -> deinterleaved-2 column (the layout the 4-bit
-    quality nibbles expand into without any reorder: low nibbles = even
-    positions in block 0, high nibbles = odd positions in block 1)."""
-    return (t % 2) * (W // 2) + t // 2
+def _deint_k_index(t: int, W: int, k: int) -> int:
+    """True position t -> deinterleaved-k column (the layout the packed
+    quality fields expand into without any reorder: field j of a byte =
+    position 8//bits*q + j, landing in block j)."""
+    return (t % k) * (W // k) + t // k
 
 
 def _qual_window_matrix(plan: DecodePlan, W: int, O: int,
-                        O_pad: int) -> np.ndarray:
-    """[W, n_segs*O_pad] f32: one matmul turns deint-2 quality values
+                        O_pad: int, k: int) -> np.ndarray:
+    """[W, n_segs*O_pad] f32: one matmul turns deint-k quality values
     into every (segment, offset) windowed SUM — replacing the
     seg.length-step slice-add loop AND freeing the kernel from needing
     true-position quality order.  Column (si*O_pad + o) sums true
     positions seg.start+o .. seg.start+o+len-1 (the reference's
-    regions_string-indexed window, quirks included); rows are deint-2
-    positions.  Exact: quality values are small ints, window sums stay
-    far below 2^24."""
+    regions_string-indexed window, quirks included); rows are deint-k
+    positions (k = 8 / qual_bits).  Exact: quality values are small
+    ints, window sums stay far below 2^24."""
     n_segs = len(plan.qual_segments)
     Wq = np.zeros((W, max(n_segs, 1) * O_pad), np.float32)
     for si, seg in enumerate(plan.qual_segments):
@@ -742,25 +742,27 @@ def _qual_window_matrix(plan: DecodePlan, W: int, O: int,
             for r in range(seg.length):
                 t = seg.start + o + r
                 if t < W:
-                    Wq[_deint2_index(t, W), si * O_pad + o] = 1.0
+                    Wq[_deint_k_index(t, W, k), si * O_pad + o] = 1.0
     return Wq
 
 
 def _kernel_quality_gate_q4(plan, q2, cb_ref, wq_ref, o_idx, O, O_pad,
-                            offset, has_exact, exact_off, const_ok, TB):
-    """Quality gate on the 4-bit WIRE: ``q2`` [TB, W] int32 nibble codes
-    in deint-2 order (in-kernel expand of quals_packed), ``cb_ref`` the
-    per-batch codebook (scalar-prefetched [16] int32).  Decodes codes ->
-    Phred via a 16-way select chain, then ONE matmul against the static
-    window matrix gives every (segment, offset) sum.  Bit-identical to
-    _kernel_quality_gate on the reconstructed tensor: both compute
-    exact integer sums in f32."""
+                            offset, has_exact, exact_off, const_ok, TB,
+                            n_codes: int = 16):
+    """Quality gate on the PACKED quality WIRE: ``q2`` [TB, W] int32
+    field codes in deint-k order (in-kernel expand of quals_packed),
+    ``cb_ref`` the per-batch codebook (scalar-prefetched [16] int32).
+    Decodes codes -> Phred via an n_codes-way select chain (16 for the
+    4-bit wire, 4 for the 2-bit wire), then ONE matmul against the
+    static window matrix gives every (segment, offset) sum.
+    Bit-identical to _kernel_quality_gate on the reconstructed tensor:
+    both compute exact integer sums in f32."""
     if plan.fix_quirks:
         qual_start = offset
     else:
         qual_start = jnp.where(has_exact, exact_off, 0)
     qf = jnp.zeros(q2.shape, jnp.float32)
-    for k in range(16):
+    for k in range(n_codes):
         qf = jnp.where(q2 == k, cb_ref[k].astype(jnp.float32), qf)
     wsum_all = jnp.dot(
         qf.astype(jnp.bfloat16), wq_ref[...],
@@ -819,7 +821,7 @@ def _kernel_match(r, w_ref, nc, nc_pad, sl, budget, TB):
 def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
                         interpret: bool = False,
                         packed_input: bool = False,
-                        qual_wire: bool = False):
+                        qual_bits: int = 0):
     """Compile the fused kernel for width L.  Returns jitted
     fn(bases [B, L] int8, lengths [B] int32, n_reads [1] int32[, quals])
     -> (flat [B] int32, status [B] int32); B must be a multiple of TB.
@@ -833,11 +835,11 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
     prologue measured 29 ns/read vs ~2 in-kernel — R4_SESSION.json).
     Bit-identical results; requires the fused all-slot matcher.
 
-    ``qual_wire=True`` (requires packed_input + a quality gate): the
-    quality argument becomes the 4-BIT WIRE pair (quals_packed
-    [B, L/2] uint8, codebook [16] int32) and the nibble decode +
+    ``qual_bits`` 4 or 2 (requires packed_input + a quality gate): the
+    quality argument becomes the PACKED WIRE pair (quals_packed
+    [B, L*bits/8] uint8, codebook [16] int32) and the field decode +
     segment-window sums run in-kernel (_kernel_quality_gate_q4) — no
-    XLA quality-unpack prologue."""
+    XLA quality-unpack prologue.  0 = raw [B, L] int8 quals."""
     scheme = plan.scheme
     F = scheme.length
     if L < F:
@@ -878,12 +880,16 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         W_all = _expand_rows_to_width(W_all, F, L, 5)
         if 2 * W_all.size > _FUSED_MATCH_VMEM * 2:
             raise ValueError("deint matcher matrix exceeds VMEM budget")
-    if qual_wire and not (packed_input and with_quals):
+    if qual_bits and not (packed_input and with_quals):
         raise ValueError(
-            "qual_wire requires packed_input and an active quality gate"
+            "qual_bits requires packed_input and an active quality gate"
         )
+    if qual_bits not in (0, 2, 4):
+        raise ValueError("qual_bits must be 0 (raw), 2, or 4")
+    qual_wire = bool(qual_bits)
     W_qual = (
-        _qual_window_matrix(plan, L, O, O_pad) if qual_wire else None
+        _qual_window_matrix(plan, L, O, O_pad, 8 // qual_bits)
+        if qual_wire else None
     )
     match_L = L if packed_input else F
     radix = plan.combo_radix
@@ -945,11 +951,19 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         ok_so_far = const_ok
         if with_quals:
             if qual_wire:
-                qp = quals_ref[...].astype(jnp.int32)  # [TB, L/2]
-                q2 = jnp.concatenate([qp & 15, qp >> 4], axis=1)
+                qp = quals_ref[...].astype(jnp.int32)
+                qmask = (1 << qual_bits) - 1
+                q2 = jnp.concatenate(
+                    [
+                        (qp >> (qual_bits * j)) & qmask
+                        for j in range(8 // qual_bits)
+                    ],
+                    axis=1,
+                )
                 lowq = _kernel_quality_gate_q4(
                     plan, q2, cb_ref, wq_ref, o_idx, O, O_pad, offset,
                     has_exact, exact_off, const_ok, TB,
+                    n_codes=1 << qual_bits,
                 )
             else:
                 lowq = _kernel_quality_gate(
@@ -1024,7 +1038,7 @@ def build_pallas_decode(plan: DecodePlan, L: int, TB: int = 256,
         if with_quals:
             if quals is None:
                 raise ValueError("quality gate on: quals required")
-            qw = L // 2 if qual_wire else L
+            qw = L * qual_bits // 8 if qual_wire else L
             in_specs.append(
                 pl.BlockSpec((TB, qw), lambda i, *_: (i, 0),
                              memory_space=pltpu.VMEM)
@@ -1073,7 +1087,7 @@ _PACKED_STEP_CACHE: dict = {}
 
 def build_pallas_packed_step(plan: DecodePlan, width: int,
                              TB: int | None = None,
-                             qual_wire: bool = False):
+                             qual_bits: int = 0):
     """Wire-format dense step with the fused kernel inside: one jit doing
     2-bit unpack + exception scatter -> Pallas decode -> count scatter.
     Drop-in replacement for ops.decode.dense_count_step_packed (measured
@@ -1089,9 +1103,10 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
         TB = _auto_tb(plan, width)
     packed_input = os.environ.get("NGS_KERNEL_PACKED_INPUT", "1") == "1"
     with_quals = plan.min_quality > 0.0
+    qual_wire = bool(qual_bits)
     if qual_wire and not (packed_input and with_quals):
-        raise ValueError("qual_wire step needs packed_input + quality")
-    key = (id(plan), width, TB, _variant_key(), packed_input, qual_wire)
+        raise ValueError("qual-wire step needs packed_input + quality")
+    key = (id(plan), width, TB, _variant_key(), packed_input, qual_bits)
     if key in _PACKED_STEP_CACHE:
         return _PACKED_STEP_CACHE[key]
     import functools
@@ -1101,7 +1116,7 @@ def build_pallas_packed_step(plan: DecodePlan, width: int,
 
     if qual_wire:
         decode_fn = build_pallas_decode(
-            plan, width, TB=TB, packed_input=True, qual_wire=True
+            plan, width, TB=TB, packed_input=True, qual_bits=qual_bits
         )  # ValueError propagates: caller falls back to the raw step
     elif packed_input:
         try:

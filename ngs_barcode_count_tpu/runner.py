@@ -336,13 +336,13 @@ class CountAccumulator:
                 # the cross-host union at flush is the dedup
                 self.dedup = RandomDedup()
 
-    def _pallas_step_for(self, width: int, qual_wire: bool = False):
+    def _pallas_step_for(self, width: int, qual_bits: int = 0):
         """Fused-kernel step, built per read width.  Only on real TPU
         backends (Mosaic does not lower on CPU) and unless disabled via
-        NGS_DECODE_KERNEL=xla.  ``qual_wire=True`` requests the variant
-        that decodes the 4-bit quality wire IN-KERNEL (None when the
-        deint kernel is unavailable — the caller reconstructs raw quals
-        and uses the plain step)."""
+        NGS_DECODE_KERNEL=xla.  ``qual_bits`` 4 or 2 requests the
+        variant that decodes the packed quality wire IN-KERNEL (None
+        when the deint kernel is unavailable — the caller reconstructs
+        raw quals and uses the plain step)."""
         # Pallas everywhere since round 4: with the deinterleaved
         # packed-input kernel the Pallas step beats the XLA path even
         # through the axon relay (e2e 2.75M vs 2.23M sustained in the
@@ -352,7 +352,7 @@ class CountAccumulator:
         # overrides.
         if os.environ.get("NGS_DECODE_KERNEL", "pallas") != "pallas":
             return None
-        if qual_wire and os.environ.get(
+        if qual_bits and os.environ.get(
             "NGS_KERNEL_PACKED_INPUT", "1"
         ) != "1":
             return None
@@ -362,19 +362,19 @@ class CountAccumulator:
             return None
         if not hasattr(self, "_pallas_steps"):
             self._pallas_steps = {}
-        key = (width, qual_wire)
+        key = (width, qual_bits)
         if key not in self._pallas_steps:
             from ngs_barcode_count_tpu.ops import pallas_decode as pdec
 
             try:
                 self._pallas_steps[key] = pdec.build_pallas_packed_step(
-                    self.plan, width, qual_wire=qual_wire
+                    self.plan, width, qual_bits=qual_bits
                 )
             except Exception as e:
-                # a failed qual_wire build falls back silently to the
+                # a failed qual-wire build falls back silently to the
                 # plain quality path (raw reconstruction), which warns
                 # itself if IT cannot build
-                if not qual_wire:
+                if not qual_bits:
                     _warn_kernel_fallback(
                         "dense packed", f"width={width}", e
                     )
@@ -499,7 +499,8 @@ class CountAccumulator:
         if getattr(pb, "quals_packed", None) is None:
             return
         pb.quals = dec.unpack_quals_wire(
-            pb.quals_packed, pb.qual_codebook, pb.width
+            pb.quals_packed, pb.qual_codebook, pb.width,
+            getattr(pb, "qual_bits", 4) or 4,
         )
         pb.quals_packed = None
         pb.qual_codebook = None
@@ -557,7 +558,9 @@ class CountAccumulator:
             and self.shardings is None
             and pb.packed.shape[0] % 256 == 0
         ):
-            q4step = self._pallas_step_for(pb.width, qual_wire=True)
+            q4step = self._pallas_step_for(
+                pb.width, qual_bits=getattr(pb, "qual_bits", 4) or 4
+            )
         if q4step is None:
             self._ensure_raw_quals(pb)
         if self.hashset_engine is not None:

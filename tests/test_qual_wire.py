@@ -39,9 +39,11 @@ def test_qual_pack_roundtrip(rng, n_vals):
     pb = _pb_with_quals(q.copy())
     _maybe_pack_quals(pb)
     assert pb.quals is None and pb.quals_packed is not None
-    assert pb.quals_packed.shape == (256, 32)
+    bits = 2 if n_vals <= 4 else 4
+    assert pb.qual_bits == bits
+    assert pb.quals_packed.shape == (256, 64 * bits // 8)
     out = np.asarray(unpack_quals_wire(
-        pb.quals_packed, pb.qual_codebook, 64
+        pb.quals_packed, pb.qual_codebook, 64, bits
     ))
     np.testing.assert_array_equal(out, q)
 
@@ -162,9 +164,10 @@ def test_qual_wire_sharded_engine(tmp_path, rng, monkeypatch):
     assert v1 == v2
 
 
-def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
-    """The in-kernel 4-bit quality decode (qual_wire kernel variant)
-    must equal the raw-quals kernel bit-for-bit on binned quality."""
+@pytest.mark.parametrize("n_levels", [5, 3])
+def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch, n_levels):
+    """The in-kernel packed-quality decode (4-bit at 5 levels, 2-bit at
+    3 levels) must equal the raw-quals kernel bit-for-bit."""
     import tempfile
 
     import jax.numpy as jnp
@@ -184,7 +187,9 @@ def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
 
     scheme = _strip_random(None)
     plan, oracle, conv = build_plan(scheme, min_quality=30.0)
-    levels = [22, 27, 32, 37, 40]
+    levels = [22, 27, 32, 37, 40][:n_levels] if n_levels == 5 else [
+        25, 32, 40
+    ]
     reads, quals = [], []
     for _ in range(300):
         r = simulate.make_read(
@@ -210,6 +215,8 @@ def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
             pb.quals_packed = np.ascontiguousarray(pb.quals_packed.T)
         pb.transposed = False
     assert pb.quals_packed is not None
+    bits = 2 if len(levels) <= 4 else 4
+    assert pb.qual_bits == bits
     n = np.array([pb.n_reads], np.int32)
     lengths = np.asarray(pb.lengths).astype(np.int32)
     epk = pdec.exc_plane(pb.exc_idx, pb.exc_val, 512, pb.width)
@@ -218,13 +225,13 @@ def test_q4_kernel_bit_identical(tmp_path, rng, monkeypatch):
         plan, pb.width, TB=8, interpret=True, packed_input=True
     )
     quals_raw = unpack_quals_wire(
-        pb.quals_packed, pb.qual_codebook, pb.width
+        pb.quals_packed, pb.qual_codebook, pb.width, bits
     )
     flat_r, st_r = f_raw(pb.packed, epk, lengths, n, quals_raw)
 
     f_q4 = pdec.build_pallas_decode(
         plan, pb.width, TB=8, interpret=True, packed_input=True,
-        qual_wire=True,
+        qual_bits=bits,
     )
     flat_q, st_q = f_q4(
         pb.packed, epk, lengths, n, pb.quals_packed,
