@@ -612,7 +612,7 @@ def _check_q4(workdir, results):
         lengths = np.asarray(pb.lengths)
         if sq4 is None:
             sq4 = pdec.build_pallas_packed_step(
-                plan, pb.width, qual_wire=True
+                plan, pb.width, qual_bits=pb.qual_bits
             )
             sraw = pdec.build_pallas_packed_step(plan, pb.width)
         c_q4, ctr_q4 = sq4(
@@ -621,7 +621,7 @@ def _check_q4(workdir, results):
         )
         quals = dec.unpack_quals_wire(
             jax.device_put(pb.quals_packed),
-            jax.device_put(pb.qual_codebook), pb.width,
+            jax.device_put(pb.qual_codebook), pb.width, pb.qual_bits,
         )
         c_raw, ctr_raw = sraw(
             c_raw, ctr_raw, pb.packed, lengths, pb.exc_idx, pb.exc_val,
