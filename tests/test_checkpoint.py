@@ -428,3 +428,66 @@ def test_byte_range_checkpoint_resume(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(
         acc_b.seq_errors.counters, acc_full.seq_errors.counters
     )
+
+
+def test_quality_gated_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """Checkpoint/resume through the quality-gated packed path with the
+    2-bit quality wire engaged (binned Phred): resumed counts equal the
+    uninterrupted run bit-for-bit."""
+    import numpy as _np
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 1000, rng,
+                                 quality_range=(25, 41))
+    # bin to 3 levels so the 2-bit wire engages
+    levels = _np.array([25, 32, 40])
+    binned = []
+    for q in quals:
+        arr = _np.frombuffer(q.encode(), _np.uint8) - 33
+        idx = _np.clip((arr - 25) // 6, 0, 2)
+        binned.append("".join(chr(int(levels[i]) + 33) for i in idx))
+    from ngs_barcode_count_tpu.utils import simulate
+
+    simulate.write_fastq(fq, reads, binned)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 32.0
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+    assert acc_full.seq_errors.counters[-1] > 0  # gate fired
+
+    from ngs_barcode_count_tpu.io import native as native_mod
+
+    acc_a = CountAccumulator(plan, conv)
+    fp = ckpt.config_fingerprint(cfg)
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(
+        native_mod.read_fastq_native_packed(
+            cfg.fastq, min_width=scheme.length,
+            batch_reads=cfg.batch_size, with_quals=True,
+        )
+    ):
+        acc_a.step_packed(pb)
+        total_a += pb.n_reads
+        if i == 2:
+            offset = pb.next_offset
+            break
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    cfg.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+    assert n_b == n_full == 1000
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
