@@ -73,12 +73,16 @@ def _maybe_transpose(pb: PackedReads) -> PackedReads:
     runs (constants/adapters align across reads) — measured +29% raw
     link throughput and +5-60% e2e, never a loss.  The transpose runs
     here on the producer thread, overlapped with device work; the decode
-    step transposes back on device (~0.1ms).  Default: col on relay
-    links (where bytes are the ceiling), row on direct-attached
+    step transposes back on device (~0.1ms).  Default: col on slow
+    proxied links (where bytes are the ceiling — classified by the
+    measured round-trip probe, utils.linkprobe), row on direct-attached
     hardware (no link benefit, saves host CPU); NGS_WIRE_LAYOUT
     overrides."""
-    on_relay = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
-    default = "col" if on_relay else "row"
+    from ngs_barcode_count_tpu.utils import linkprobe
+
+    # never initializes a backend: ingest-only contexts (no device in
+    # play yet) default to the row layout
+    default = "col" if linkprobe.is_slow_link() else "row"
     if os.environ.get("NGS_WIRE_LAYOUT", default) == "col":
         if os.environ.get("NGS_WIRE_SORT", "1") == "1" and pb.n_reads > 1:
             _sort_batch_rows(pb)
