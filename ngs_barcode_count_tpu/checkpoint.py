@@ -82,11 +82,8 @@ def save(path: str, acc, byte_offset, total_reads: int,
         # to the mesh size — load validates the shape).
         state["hash_table"] = np.asarray(acc.hashset)
         blob = {
-            "overflow_seen": np.fromiter(
-                acc._overflow_seen, dtype=np.uint64,
-                count=len(acc._overflow_seen),
-            ),
-            "overflow_counts": acc._overflow_counts,
+            "overflow_seen": acc._overflow.export_keys(),
+            "overflow_counts": acc._overflow.counts,
             "host_counters": acc.seq_errors.counters,
         }
         state["hashset_pickle"] = np.frombuffer(
@@ -186,8 +183,10 @@ def load(path: str, acc, fingerprint: str):
             else:
                 acc.hashset = jnp.asarray(z["hash_table"])
             blob = pickle.loads(bytes(z["hashset_pickle"]))
-            acc._overflow_seen = set(blob["overflow_seen"].tolist())
-            acc._overflow_counts = dict(blob["overflow_counts"])
+            acc._overflow.import_state(
+                np.asarray(blob["overflow_seen"], np.uint64),
+                dict(blob["overflow_counts"]),
+            )
             acc.seq_errors.counters = blob["host_counters"]
         if "keyed_pickle" in z:
             blob = pickle.loads(bytes(z["keyed_pickle"]))

@@ -491,3 +491,96 @@ def test_quality_gated_checkpoint_resume(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(
         acc_b.seq_errors.counters, acc_full.seq_errors.counters
     )
+
+
+def test_dual_stream_checkpoint_kill_resume(tmp_path, rng, monkeypatch):
+    """Round 5: checkpointing no longer forces single-stream.  A
+    dual-stream checkpointed run killed (SIGKILL) mid-decode resumes
+    from its snapshot — also dual-stream — and the final counts equal an
+    uninterrupted single-stream run bit-for-bit (the snapshot is the
+    summed canonical state, same format both loops)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 60_000, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 256
+    cfg.checkpoint_interval_s = 0.2
+
+    # ground truth: uninterrupted single-stream, no checkpoints
+    monkeypatch.setenv("NGS_DUAL_STREAM", "0")
+    cfg_plain = _mk_config(tmp_path, fq, paths)
+    cfg_plain.batch_size = 256
+    scheme, conv, me, plan, _ = setup(cfg_plain)
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg_plain, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    # phase 1: dual-stream checkpointed child, SIGKILLed after the
+    # first snapshot lands
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = textwrap.dedent(
+        f"""
+        import sys
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {repo!r})
+        from ngs_barcode_count_tpu.runner import (
+            CountAccumulator, decode_file, setup,
+        )
+        from tests.test_end_to_end import _mk_config
+        import pathlib
+        tmp = pathlib.Path({str(tmp_path)!r})
+        paths = {paths!r}
+        cfg = _mk_config(tmp, {fq!r}, paths)
+        cfg.batch_size = 256
+        cfg.checkpoint_interval_s = 0.2
+        scheme, conv, me, plan, _ = setup(cfg)
+        acc = CountAccumulator(plan, conv)
+        decode_file(cfg, plan, scheme, acc)
+        print("CHILD_DONE")
+        """
+    )
+    env = dict(os.environ, NGS_DUAL_STREAM="2")
+    env.pop("JAX_PLATFORMS", None)
+    p = subprocess.Popen(
+        [sys.executable, "-c", child], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+    )
+    deadline = time.time() + 120
+    killed = False
+    while time.time() < deadline:
+        if os.path.exists(cfg.checkpoint_path):
+            time.sleep(0.3)  # let it get past the first snapshot
+            if p.poll() is None:
+                p.send_signal(signal.SIGKILL)
+                killed = True
+            break
+        if p.poll() is not None:
+            break
+        time.sleep(0.05)
+    out, _ = p.communicate(timeout=120)
+    assert os.path.exists(cfg.checkpoint_path), out.decode()[-2000:]
+
+    # phase 2: dual-stream resume to completion
+    monkeypatch.setenv("NGS_DUAL_STREAM", "2")
+    cfg.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+
+    assert n_b == n_full == 60_000
+    assert killed or b"CHILD_DONE" in out  # a too-fast child still ran
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )

@@ -403,3 +403,61 @@ def test_two_process_long_slot(tmp_path, rng):
         a = sorted(open(tmp_path / "single" / f).read().splitlines())
         b = sorted(open(tmp_path / "out0" / f).read().splitlines())
         assert a == b, f
+
+
+def test_owner_of_deterministic_and_balanced():
+    """The triple-owner hash must be deterministic and spread sequential
+    random ids evenly (the sharded merge's balance depends on it)."""
+    rng = np.random.default_rng(3)
+    rows = np.stack(
+        [
+            rng.integers(0, 4, 10_000).astype(np.uint64),
+            rng.integers(0, 1 << 20, 10_000).astype(np.uint64),
+            np.arange(10_000, dtype=np.uint64),  # sequential randoms
+        ],
+        axis=1,
+    )
+    a = multihost._owner_of(rows, 4)
+    b = multihost._owner_of(rows, 4)
+    np.testing.assert_array_equal(a, b)
+    counts = np.bincount(a, minlength=4)
+    assert counts.min() > 0.8 * counts.mean()
+
+
+def test_exchange_to_owners_single_process_identity():
+    rows = np.array([[1, 2, 3], [4, 5, 6]], np.uint64)
+    np.testing.assert_array_equal(
+        multihost._exchange_to_owners(rows), rows
+    )
+
+
+def test_two_process_triple_merge_allgather_toggle(tmp_path, rng,
+                                                   monkeypatch):
+    """NGS_TRIPLE_MERGE=allgather (the legacy all-triples-to-all-hosts
+    union) must produce the same CSVs as the default hash-partitioned
+    exchange — both are compared against the single-process run."""
+    monkeypatch.setenv("NGS_TRIPLE_MERGE", "allgather")
+    paths = write_inputs(tmp_path, scheme_text=SCHEME_RANDOM_TEXT)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(tmp_path, scheme, 601, rng)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.merge_output = True
+
+    (tmp_path / "out0").mkdir()
+    (tmp_path / "out1").mkdir()
+    (tmp_path / "single").mkdir()
+    port = 29870 + (os.getpid() % 97)
+    _spawn_two_process_run(tmp_path, cfg, port)
+
+    monkeypatch.delenv("NGS_TRIPLE_MERGE")
+    cfg.output_dir = str(tmp_path / "single")
+    cfg.prefix = "mh"
+    run(cfg)
+    for f in sorted(os.listdir(tmp_path / "single")):
+        if not f.endswith(".csv"):
+            continue
+        a = sorted(open(tmp_path / "single" / f).read().splitlines())
+        b = sorted(open(tmp_path / "out0" / f).read().splitlines())
+        assert a == b, f
