@@ -104,7 +104,10 @@ def save(path: str, acc, byte_offset, total_reads: int,
             pickle.dumps(blob), dtype=np.uint8
         )
     tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **state)
+    # uncompressed: zlib on a multi-MB count tensor costs seconds of CPU
+    # per snapshot (it competed with the ingest pool for cores and
+    # stretched the snapshot stall); plain npz writes are ~instant
+    np.savez(tmp, **state)
     os.replace(tmp, path)
 
 

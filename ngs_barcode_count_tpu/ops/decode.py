@@ -1110,6 +1110,161 @@ def dense_count_step_packed_q(
     )
 
 
+# ---------------------------------------------------------------------------
+# Host-side quality gate (two-phase): config-3 runs on byte-limited links
+# ship NO quality bytes at all.  Phase A decodes bases-only and sends a
+# 2-byte/read gate wire down (qual_start + class); the host evaluates the
+# segment-mean gate against the raw Phred bytes it still holds and sends
+# a 1-bit/read low-quality mask up; phase B folds the mask into the
+# counters and count scatter.  Bit-identical to the in-kernel gate:
+# sample/counted classification never depends on quality, and the
+# reference drops a low-quality read BEFORE barcode matching
+# (parse.rs:98-119), which phase B's masking reproduces exactly.
+# ---------------------------------------------------------------------------
+
+GATE_PAD = np.int8(4)  # cls for padding rows past n_reads
+
+
+@partial(jax.jit, static_argnums=(0, 5))
+def dense_gate_probe_packed(
+    plan: DecodePlan, packed, lengths, exc_idx, exc_val, width: int,
+    n_reads,
+):
+    """Phase A: bases-only decode.  Returns dict with
+    ``flat`` [B] int32 (stays ON DEVICE for phase B),
+    ``cls`` [B] int8 (0=const_err 1=sample_err 2=counted_err 3=valid
+    4=pad; stays on device), and ``wire`` [B, 2] int8 (fetched:
+    col 0 = qual_start per the reference's post-repair-offset-0 quirk,
+    col 1 = cls)."""
+    scheme = plan.scheme
+    B = packed.shape[0]
+    bases = unpack_bases(packed, exc_idx, exc_val, width)
+    read_mask = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0).squeeze(-1)
+        < n_reads[0]
+    )
+    F = scheme.length
+    lengths = lengths.astype(jnp.int32)
+    len_ok = (lengths >= F) & read_mask
+
+    has_exact, exact_off, repair_ok, rep_off = scan_offsets(
+        plan, bases, lengths
+    )
+    const_ok = len_ok & (has_exact | repair_ok)
+    offset = jnp.where(has_exact, exact_off, rep_off)
+    if plan.fix_quirks:
+        qual_start = offset
+    else:
+        qual_start = jnp.where(has_exact, exact_off, 0)
+    alive = const_ok  # the gate masks later, in phase B
+
+    from ngs_barcode_count_tpu.ops.pallas_decode import _realign
+
+    B_, L_ = bases.shape
+    O_ = L_ - F + 1
+    R = _realign(bases, offset[:, None], L_, O_, B_, F)
+
+    def slot_codes_of(slot):
+        return jax.lax.slice_in_dim(
+            R, slot.offset, slot.offset + slot.length, axis=1
+        )
+
+    if scheme.sample_slot is None:
+        sample_idx = jnp.zeros(B, dtype=jnp.int32)
+        sample_ok = alive
+    else:
+        sample_idx, s_ok = match_barcodes(
+            slot_codes_of(scheme.sample_slot),
+            plan.sample_onehot,
+            plan.sample_n_mask,
+            plan.max_errors.sample_barcode,
+        )
+        sample_ok = alive & s_ok
+    counted_ok = sample_ok
+    combo_flat = jnp.zeros(B, dtype=jnp.int32)
+    for i, slot in enumerate(scheme.barcode_slots):
+        idx, ok = match_barcodes(
+            slot_codes_of(slot),
+            plan.counted_onehots[i],
+            plan.counted_n_masks[i],
+            plan.max_errors.barcode[i],
+        )
+        counted_ok = counted_ok & ok
+        combo_flat = combo_flat * plan.combo_radix[i] + idx
+
+    cls = jnp.where(
+        ~read_mask,
+        jnp.int32(GATE_PAD),
+        jnp.where(
+            ~const_ok,
+            0,
+            jnp.where(~sample_ok, 1, jnp.where(~counted_ok, 2, 3)),
+        ),
+    )
+    flat = jnp.where(
+        counted_ok, sample_idx * plan.n_combos + combo_flat, 0
+    )
+    wire = jnp.stack(
+        [qual_start.astype(jnp.int8), cls.astype(jnp.int8)], axis=1
+    )
+    return {"flat": flat, "cls": cls.astype(jnp.int8), "wire": wire}
+
+
+def host_lowq_mask(
+    plan: DecodePlan,
+    quals: np.ndarray,
+    qual_start: np.ndarray,
+    applies: np.ndarray,
+) -> np.ndarray:
+    """Host-side segment-mean gate, grouped by qual_start so every
+    segment is a contiguous slice (no per-read gathers).  Means
+    accumulate in float32 to match the device formulation
+    (low_quality_mask) decision-for-decision."""
+    lowq = np.zeros(len(applies), bool)
+    if not plan.qual_segments or not applies.any():
+        return lowq
+    thr = np.float32(plan.min_quality)
+    for o in np.unique(qual_start[applies]).tolist():
+        rows = np.flatnonzero(applies & (qual_start == o))
+        q = quals[rows]
+        bad = np.zeros(len(rows), bool)
+        for seg in plan.qual_segments:
+            m = q[:, o + seg.start : o + seg.start + seg.length].mean(
+                axis=1, dtype=np.float32
+            )
+            bad |= m < thr
+        lowq[rows] = bad
+    return lowq
+
+
+@partial(jax.jit, static_argnums=0, donate_argnums=(1, 2))
+def dense_gate_apply(plan: DecodePlan, counts, counters, flat, cls,
+                     lowq_bits):
+    """Phase B: fold the host's 1-bit/read low-quality mask into the
+    deferred counter/count updates.  Reference order (parse.rs:98-119):
+    a low-quality read is dropped before barcode matching, so it counts
+    ONLY as low_quality regardless of phase A's classification."""
+    B = flat.shape[0]
+    bits = jnp.repeat(lowq_bits, 8)[:B]
+    lowq = (
+        (bits >> (jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+                  .squeeze(-1) % 8)) & 1
+    ).astype(bool)
+    gate_applies = (cls >= 1) & (cls <= 3)
+    lq = gate_applies & lowq
+    add = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    add = add.at[stats.CONSTANT_REGION].set(jnp.sum(cls == 0))
+    add = add.at[stats.LOW_QUALITY].set(jnp.sum(lq))
+    add = add.at[stats.SAMPLE_BARCODE].set(jnp.sum((cls == 1) & ~lowq))
+    add = add.at[stats.BARCODE].set(jnp.sum((cls == 2) & ~lowq))
+    valid = (cls == 3) & ~lowq
+    add = add.at[stats.MATCHED].set(jnp.sum(valid))
+    counts = counts.at[jnp.where(valid, flat, 0)].add(
+        valid.astype(counts.dtype)
+    )
+    return counts, counters + add
+
+
 def _keyed_packed_outputs(plan: DecodePlan, out: dict) -> dict:
     """Compress keyed-mode per-read outputs to ONE int32 matrix so the
     host needs a single device fetch per batch (device-to-host round

@@ -592,6 +592,26 @@ class CountAccumulator:
         n = np.array([pb.n_reads], np.int32)
         self._untranspose(pb)
         self._warn_odd_rows(pb.packed.shape[0])
+        # NGS_QUAL_WIRE=host: config-3's two-phase gate — quality bytes
+        # never cross the link; a 2B/read gate wire comes down, the host
+        # evaluates the segment means on its raw Phred bytes, and a
+        # 1-bit/read mask goes back up (ops.decode.dense_gate_*)
+        if (
+            plan.min_quality > 0.0
+            and os.environ.get("NGS_QUAL_WIRE") == "host"
+            and plan.dense_counts
+            and getattr(pb, "quals", None) is not None
+            and getattr(pb, "quals_packed", None) is None
+            and isinstance(pb.quals, np.ndarray)
+            and self.hashset_engine is None
+            and self.hashset is None
+            and self.engine is None
+            and self.bitmap is None
+            and self.shardings is None
+            and pb.width - plan.scheme.length <= 127
+        ):
+            self._step_packed_gate(pb, n)
+            return
         # dense single-device Pallas runs decode the 4-bit quality wire
         # IN-KERNEL; every other path reconstructs raw quals first
         q4step = None
@@ -752,6 +772,42 @@ class CountAccumulator:
                     pb.lengths, pb.exc_idx, pb.exc_val, pb.width, n,
                 )
             )
+
+    def _step_packed_gate(self, pb, n) -> None:
+        """Dispatch phase A of the host-side quality gate and pipeline
+        the harvest (gate-wire fetch + host segment means + phase B)
+        ~2M reads deep, like _push_overflow, so the d2h round trip
+        rides under later batches' uploads."""
+        pb.lengths = self._lengths_dev(pb.lengths)
+        out = dec.dense_gate_probe_packed(
+            self.plan, pb.packed, pb.lengths, pb.exc_idx, pb.exc_val,
+            pb.width, n,
+        )
+        try:
+            out["wire"].copy_to_host_async()
+        except Exception:
+            pass
+        if not hasattr(self, "_pending_gate"):
+            from collections import deque
+
+            self._pending_gate = deque()
+        rows = int(out["wire"].shape[0]) or 1
+        depth = max(2, (1 << 21) // rows)
+        self._pending_gate.append((out, pb.quals))
+        while len(self._pending_gate) > depth:
+            self._harvest_gate(*self._pending_gate.popleft())
+
+    def _harvest_gate(self, out, quals) -> None:
+        wire = np.asarray(out["wire"])
+        qual_start = wire[:, 0].astype(np.int64)
+        cls = wire[:, 1]
+        applies = (cls >= 1) & (cls <= 3)
+        lowq = dec.host_lowq_mask(self.plan, quals, qual_start, applies)
+        bits = np.packbits(lowq, bitorder="little")
+        self.dense_state, self.dense_counters = dec.dense_gate_apply(
+            self.plan, self.dense_state, self.dense_counters,
+            out["flat"], out["cls"], bits,
+        )
 
     def _push_overflow(self, over, n_over, pb=None) -> None:
         """Pipeline the (rare) hash-set overflow fetch deep enough that
@@ -1041,6 +1097,9 @@ class CountAccumulator:
         pend = getattr(self, "_pending_keyed", None)
         while pend:
             self._harvest_keyed(pend.popleft())
+        pend = getattr(self, "_pending_gate", None)
+        while pend:
+            self._harvest_gate(*pend.popleft())
         pend = getattr(self, "_pending_over", None)
         while pend:
             self._harvest_overflow(*pend.popleft())
@@ -1399,6 +1458,55 @@ def encoded_chunks(path: str, min_width: int, batch_size: int):
     return fastq_mod.read_fastq(path, min_width=min_width)
 
 
+def _snap_copy(x):
+    """Fresh on-device copy of a donated state buffer: the decode steps
+    donate their count/counter arguments, so a background save must not
+    hold the live reference (it would be deleted under it).  x + 0
+    without donation cannot alias its input, so the result is a new
+    buffer; dispatch-only (the fetch happens on the saver thread)."""
+    import jax
+
+    if not hasattr(_snap_copy, "_fn"):
+        _snap_copy._fn = jax.jit(lambda v: v + 0)
+    return _snap_copy._fn(x)
+
+
+class _AsyncCheckpointer:
+    """Background checkpoint writes for DENSE state (immutable jax
+    arrays): the quiesce window only captures array references + a
+    frontier copy; the d2h fetch and the (atomic tmp+rename) file write
+    run on a worker thread, so the decode pipeline never drains at
+    snapshot time.  One save in flight at a time — if the previous write
+    is still running at the next interval, the snapshot is skipped (the
+    following one covers strictly more reads)."""
+
+    def __init__(self) -> None:
+        self._thread = None
+
+    def busy(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+    def submit(self, path, snap, front, total, fp, ranges) -> bool:
+        if self.busy():
+            return False
+        import threading
+
+        from ngs_barcode_count_tpu import checkpoint as ckpt
+
+        self._thread = threading.Thread(
+            target=ckpt.save,
+            args=(path, snap, front, total, fp),
+            kwargs={"ranges": ranges},
+            daemon=True,
+        )
+        self._thread.start()
+        return True
+
+    def join(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+
+
 def _plan_ckpt_ranges(config, checkpointing, start_offset, resume_ranges,
                       byte_range):
     """Reader ranges + checkpoint frontier for a run, shared by the
@@ -1610,6 +1718,7 @@ def decode_file(
             else ""
         )
         last_ckpt = time.perf_counter()
+        saver = _AsyncCheckpointer()
         step_fn = acc.step_packed if use_packed else acc.step_packed_keyed
         ranges, ckpt_ranges, frontier = _plan_ckpt_ranges(
             config, checkpointing, start_offset, resume_ranges, byte_range
@@ -1647,15 +1756,45 @@ def decode_file(
                     all(clean)
                     and time.perf_counter() - last_ckpt
                     >= config.checkpoint_interval_s
+                    and not saver.busy()
                 ):
                     # drain pipelined work so saved state matches the
                     # saved frontier exactly
                     acc.flush_pending()
-                    ckpt.save(
-                        ckpt_path, acc,
-                        frontier if frontier is not None else single_off,
-                        total_reads, fp, ranges=ckpt_ranges,
+                    front = (
+                        list(frontier) if frontier is not None
+                        else single_off
                     )
+                    if (
+                        acc.dense is not None
+                        and acc.hashset is None
+                        and acc.hashset_engine is None
+                        and acc.engine is None
+                        and acc.keyed is None
+                    ):
+                        # dense state is immutable jax arrays, but the
+                        # NEXT step donates the live buffers — snapshot
+                        # fresh copies (dispatch-only) and write in the
+                        # background (no pipeline drain at snapshot time)
+                        from types import SimpleNamespace
+
+                        snap = SimpleNamespace(
+                            dense_state=_snap_copy(acc.dense_state),
+                            dense_counters=_snap_copy(acc.dense_counters),
+                            keyed=None,
+                        )
+                        saver.submit(
+                            ckpt_path, snap, front, total_reads, fp,
+                            ranges=ckpt_ranges,
+                        )
+                    else:
+                        # host-mutable stores (keyed dicts, overflow
+                        # dedup): synchronous save keeps the snapshot
+                        # consistent
+                        ckpt.save(
+                            ckpt_path, acc, front, total_reads, fp,
+                            ranges=ckpt_ranges,
+                        )
                     last_ckpt = time.perf_counter()
             if limit_batches and n_batches >= limit_batches:
                 break
@@ -1663,6 +1802,7 @@ def decode_file(
                 print(
                     f"Total sequences:             {total_reads:,}\r", end=""
                 )
+        saver.join()
     else:
         if byte_range is not None:
             from ngs_barcode_count_tpu.parallel import distributed as dist
@@ -1850,10 +1990,9 @@ def _decode_dual_stream(
     ]
     for t in threads:
         t.start()
+    saver = _AsyncCheckpointer()
     if checkpointing:
         from types import SimpleNamespace
-
-        from ngs_barcode_count_tpu import checkpoint as ckpt
 
         last_ckpt = time.perf_counter()
         poll = min(1.0, max(config.checkpoint_interval_s / 4, 0.01))
@@ -1862,6 +2001,7 @@ def _decode_dual_stream(
             if (
                 time.perf_counter() - last_ckpt
                 < config.checkpoint_interval_s
+                or saver.busy()
             ):
                 continue
             pause.set()
@@ -1882,6 +2022,9 @@ def _decode_dual_stream(
                     done = total_reads0 + sum(totals)
                 if not ok:
                     continue
+                # dispatch-only capture: the summed arrays are immutable
+                # functional values, so lanes resume immediately and the
+                # fetch/write happen in the background
                 merged_state = lanes[0].dense_state
                 merged_counters = lanes[0].dense_counters
                 for lane in lanes[1:]:
@@ -1892,7 +2035,7 @@ def _decode_dual_stream(
                     dense_counters=merged_counters,
                     keyed=None,
                 )
-                ckpt.save(
+                saver.submit(
                     ckpt_path, snap, front, done, fp, ranges=ckpt_ranges
                 )
                 last_ckpt = time.perf_counter()
@@ -1902,6 +2045,7 @@ def _decode_dual_stream(
                     cv.notify_all()
     for t in threads:
         t.join()
+    saver.join()
     if errors:
         raise errors[0]
     for lane in lanes[1:]:

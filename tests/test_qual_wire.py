@@ -276,3 +276,110 @@ def test_qual_wire_hashset_engine(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(c1, c2)
     assert v1 == v2
     assert c1[-1] > 0  # quality gate fired
+
+
+def test_host_gate_e2e_bit_identical(tmp_path, rng, monkeypatch):
+    """NGS_QUAL_WIRE=host (round 5): the two-phase host-side gate — no
+    quality bytes on the wire, 2B/read gate wire down, 1-bit mask up —
+    must equal the raw-wire in-device gate exactly (counters AND counts),
+    including repaired reads (post-repair quality offset 0 quirk)."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 900, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    n3, c3, v3 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "host"},
+                                    monkeypatch)
+    assert n1 == n3 == 900
+    np.testing.assert_array_equal(c1, c3)
+    assert v1 == v3
+    assert c1[-1] > 0 or c1[5] > 0  # the gate actually fired
+
+
+def test_host_gate_fix_quirks_and_col_major(tmp_path, rng, monkeypatch):
+    """Host gate under --fix-quirks (true-window quality offsets) and the
+    col-major sorted wire: rows reorder on the producer thread, so the
+    host-retained Phred matrix must reorder identically."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 700, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+    cfg.fix_quirks = True
+    monkeypatch.setenv("NGS_WIRE_LAYOUT", "col")
+    monkeypatch.setenv("NGS_WIRE_SORT", "1")
+
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    n3, c3, v3 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "host"},
+                                    monkeypatch)
+    assert n1 == n3 == 700
+    np.testing.assert_array_equal(c1, c3)
+    assert v1 == v3
+
+
+def test_host_gate_checkpoint_resume(tmp_path, rng, monkeypatch):
+    """flush_pending drains the gate pipeline before snapshots: resumed
+    host-gate runs equal uninterrupted ones."""
+    from ngs_barcode_count_tpu import checkpoint as ckpt
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 1200, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+    monkeypatch.setenv("NGS_QUAL_WIRE", "host")
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    # partial run -> snapshot -> resume
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+
+    acc_a = CountAccumulator(plan, conv)
+    total_a = 0
+    offset = None
+    for i, pb in enumerate(read_fastq_packed_parallel(
+        fq, min_width=scheme.length, batch_reads=cfg.batch_size,
+        with_quals=True, n_threads=1,
+    )):
+        acc_a.step_packed(pb)
+        total_a += pb.n_reads
+        if i == 3:
+            assert pb.next_offset > 0
+            offset = pb.next_offset
+            break
+    acc_a.flush_pending()
+    fp = ckpt.config_fingerprint(cfg)
+    ckpt.save(cfg.checkpoint_path, acc_a, offset, total_a, fp)
+
+    cfg.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg, plan, scheme, acc_b)
+    acc_b.finalize()
+    assert n_b == n_full == 1200
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
