@@ -31,6 +31,23 @@ from ngs_barcode_count_tpu.parallel import distributed as dist
 _SENTINEL = None
 
 
+def _default_qual_wire() -> str:
+    """Quality wire mode when NGS_QUAL_WIRE is unset.
+
+    - "pack": 2/4-bit per-batch codebook wire, decoded in-kernel.
+    - "raw": raw Phred bytes.
+    - "host": round-5 two-phase gate — NO quality bytes cross the link;
+      the device sends a 2B/read gate wire down and the host returns a
+      1-bit/read mask (runner._step_packed_gate).  Dense-mode only; the
+      ingest side just keeps pb.quals as a host array.
+    """
+    return "pack"
+
+
+def _qual_wire_mode() -> str:
+    return os.environ.get("NGS_QUAL_WIRE") or _default_qual_wire()
+
+
 def _maybe_pack_quals(pb: PackedReads) -> None:
     """Lossless 4-bit Phred wire (VERDICT r3 weak #4): Illumina RTA bins
     quality to 4-8 distinct values, so a per-batch value codebook packs
@@ -41,7 +58,7 @@ def _maybe_pack_quals(pb: PackedReads) -> None:
     (~3 numpy passes over the batch); the runner reconstructs the
     identical int8 tensor on device (ops.decode.unpack_quals_wire).
     NGS_QUAL_WIRE=raw disables."""
-    if pb.quals is None or os.environ.get("NGS_QUAL_WIRE", "pack") != "pack":
+    if pb.quals is None or _qual_wire_mode() != "pack":
         return
     q8 = pb.quals.view(np.uint8)
     hist = np.bincount(q8.reshape(-1), minlength=256)

@@ -795,18 +795,46 @@ def _dedup_windowed() -> int:
     return int(v) if v in ("0", "1", "2") else 0
 
 
+def _dedup_probes() -> int:
+    """NGS_DEDUP_PROBES: linear-probe window length (default 4).  Fewer
+    probes = fewer dependent HBM ops per read; rows that exhaust the
+    window compact into the EXACT host overflow path, so any value is
+    bit-correct — the knob trades device HBM traffic against overflow
+    volume (VERDICT r4 next-step #4 hardware sweep)."""
+    v = int(os.environ.get("NGS_DEDUP_PROBES", DEDUP_PROBES))
+    return max(1, min(v, 8))
+
+
 def _dedup_variant() -> str:
     """Static fingerprint of the dedup-tail formulation (threaded into
     every jitted step as a static arg so env toggles retrace)."""
     w = _dedup_windowed()
-    return ("sorted" if _dedup_sorted() else "row") + (
-        "" if not w else f"+win{w}"
+    p = _dedup_probes()
+    return (
+        ("sorted" if _dedup_sorted() else "row")
+        + ("" if p == DEDUP_PROBES else f"+p{p}")
+        + ("" if not w else f"+win{w}")
     )
 
 
+def _parse_variant(variant: str) -> tuple[bool, int, int]:
+    """variant string -> (sorted_tail, windowed, n_probes)."""
+    parts = variant.split("+")
+    sorted_tail = parts[0] == "sorted"
+    windowed = 0
+    n_probes = DEDUP_PROBES
+    for part in parts[1:]:
+        if part.startswith("win"):
+            windowed = int(part[3:])
+        elif part.startswith("p"):
+            n_probes = int(part[1:])
+    return sorted_tail, windowed, n_probes
 
 
-def probe_insert(table, slot, fp, active, S: int, windowed: int):
+
+
+def probe_insert(table, slot, fp, active, S: int, windowed: int,
+                 n_probes: int = DEDUP_PROBES):
     """The shared probe/insert core of the device dedup (single-device
     hashset_update AND the sharded owner-side tail use this, so variant
     toggles keep every engine bit-consistent).  ``active`` marks rows
@@ -817,7 +845,7 @@ def probe_insert(table, slot, fp, active, S: int, windowed: int):
     if windowed:
         cur4 = jnp.minimum(
             slot[:, None]
-            + jnp.arange(DEDUP_PROBES, dtype=jnp.int32)[None, :],
+            + jnp.arange(n_probes, dtype=jnp.int32)[None, :],
             S,
         )
 
@@ -831,7 +859,7 @@ def probe_insert(table, slot, fp, active, S: int, windowed: int):
                     tab.at[jnp.minimum(slot + p, S)].get(
                         mode="fill", fill_value=1
                     )
-                    for p in range(DEDUP_PROBES)
+                    for p in range(n_probes)
                 ],
                 axis=1,
             )
@@ -857,7 +885,7 @@ def probe_insert(table, slot, fp, active, S: int, windowed: int):
                 win = window(table)
                 empty = win == 0
     else:
-        for p in range(DEDUP_PROBES):
+        for p in range(n_probes):
             cur = jnp.minimum(slot + p, S)  # S = harmless OOB (clip/drop)
             t = table.at[cur].get(mode="fill", fill_value=1)
             hit = active & (t == fp)
@@ -887,10 +915,7 @@ def hashset_update(
     STATIC arg so toggling the env vars retraces."""
     if variant is None:
         variant = _dedup_variant()
-    sorted_tail = variant.startswith("sorted")
-    windowed = 0
-    if "+win" in variant:
-        windowed = 2 if variant.endswith("2") else 1
+    sorted_tail, windowed, n_probes = _parse_variant(variant)
     S = table.shape[0]
     B = valid.shape[0]
 
@@ -932,7 +957,7 @@ def hashset_update(
     resolved_dup = valid & ~first
     active = valid & first
     table, probe_dups, is_new, overflow = probe_insert(
-        table, slot, fp, active, S, windowed
+        table, slot, fp, active, S, windowed, n_probes
     )
     resolved_dup = resolved_dup | probe_dups
 

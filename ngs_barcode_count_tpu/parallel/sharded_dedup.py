@@ -117,10 +117,7 @@ class ShardedHashsetEngine:
         # single-device path (ops.decode.probe_insert), so an n=1 mesh
         # stays bit-identical to the unsharded step under any variant
         variant = dec._dedup_variant()
-        sorted_tail = variant.startswith("sorted")
-        windowed = 0
-        if "+win" in variant:
-            windowed = 2 if variant.endswith("2") else 1
+        sorted_tail, windowed, n_probes = dec._parse_variant(variant)
         R = batch_rows // n  # local rows per device
         # all_to_all bucket capacity per (sender, owner) pair; anything
         # past it goes to the exact host overflow path
@@ -335,7 +332,8 @@ class ShardedHashsetEngine:
             resolved_dup = r_live & ~first
             active = r_live & first
             table, probe_dups, is_new, probe_over = dec.probe_insert(
-                table, probe_slot, r_fp, active, S_local, windowed
+                table, probe_slot, r_fp, active, S_local, windowed,
+                n_probes,
             )
             resolved_dup = resolved_dup | probe_dups
 

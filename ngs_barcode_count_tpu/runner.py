@@ -30,6 +30,7 @@ from ngs_barcode_count_tpu.counting import (
 from ngs_barcode_count_tpu.errors import MaxSeqErrors
 from ngs_barcode_count_tpu.io import batcher as batcher_mod
 from ngs_barcode_count_tpu.io import fastq as fastq_mod
+from ngs_barcode_count_tpu.io.parallel_ingest import _qual_wire_mode
 from ngs_barcode_count_tpu.ops import decode as dec
 from ngs_barcode_count_tpu.output import ResultsView, WriteFiles, WriterConfig
 from ngs_barcode_count_tpu.scheme import SequenceScheme, parse_scheme
@@ -598,7 +599,7 @@ class CountAccumulator:
         # 1-bit/read mask goes back up (ops.decode.dense_gate_*)
         if (
             plan.min_quality > 0.0
-            and os.environ.get("NGS_QUAL_WIRE") == "host"
+            and _qual_wire_mode() == "host"
             and plan.dense_counts
             and getattr(pb, "quals", None) is not None
             and getattr(pb, "quals_packed", None) is None

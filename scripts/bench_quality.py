@@ -92,15 +92,20 @@ def main():
     scheme, conv, me, plan, _ = setup(cfg)
     assert plan.min_quality > 0
 
-    # warmup (claim + compile) for both wire modes
+    # warmup (claim + compile) for every wire mode: the 2/4-bit codebook
+    # wire ("pack"), raw Phred bytes ("raw"), and the round-5 two-phase
+    # host gate ("host": no quality bytes on the link at all)
+    modes = tuple(
+        os.environ.get("NGS_QUAL_MODES", "pack,raw,host").split(",")
+    )
     results = {}
     counters = {}
-    for mode in ("pack", "raw"):
+    for mode in modes:
         os.environ["NGS_QUAL_WIRE"] = mode
         acc0 = CountAccumulator(plan, conv)
         decode_file(cfg, plan, scheme, acc0, limit_batches=2)
         acc0.finalize()
-    for mode in ("pack", "raw"):
+    for mode in modes:
         os.environ["NGS_QUAL_WIRE"] = mode
         times = []
         total = 0
@@ -116,13 +121,20 @@ def main():
         }
         counters[mode] = acc.seq_errors.counters.tolist()
     os.environ.pop("NGS_QUAL_WIRE", None)
-    assert counters["pack"] == counters["raw"], (
-        "quality wire changed results", counters
-    )
+    for mode in modes[1:]:
+        assert counters[modes[0]] == counters[mode], (
+            "quality wire changed results", counters
+        )
 
     import jax
 
-    rps = results["pack"]["sustained"]
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        _default_qual_wire,
+    )
+
+    best_mode = max(results, key=lambda m: results[m]["sustained"])
+    default_mode = _default_qual_wire()
+    rps = results.get(default_mode, results[modes[0]])["sustained"]
     print(json.dumps({
         "metric": "reads_per_second",
         "value": rps,
@@ -132,9 +144,10 @@ def main():
             "config": "min_quality_30_dense",
             "platform": jax.devices()[0].platform,
             "n_reads": total,
-            "qual_wire_pack": results["pack"],
-            "qual_wire_raw": results["raw"],
-            "counters": counters["pack"],
+            "default_mode": default_mode,
+            "best_mode": best_mode,
+            **{f"qual_wire_{m}": results[m] for m in modes},
+            "counters": counters[modes[0]],
             "batch_size": batch_size,
         },
     }))

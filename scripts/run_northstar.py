@@ -99,7 +99,7 @@ def launch(kind, args, logpath, extra_env=None):
         cmd = [sys.executable, "-u", "-m", "ngs_barcode_count_tpu"] + args
     lf = open(logpath, "wb")
     return subprocess.Popen(
-        cmd, stdout=lf, stderr=subprocess.STDOUT, cwd=ROOT,
+        cmd, stdout=lf, stderr=subprocess.STDOUT, cwd=ROOT, env=env,
         start_new_session=True,
     )
 

@@ -297,3 +297,31 @@ def test_sharded_n1_equals_single_device(tmp_path, rng, monkeypatch,
     ov_s = ov_s[np.lexsort(ov_s.T)]
     ov_1 = ov_1[np.lexsort(ov_1.T)]
     np.testing.assert_array_equal(ov_s, ov_1)
+
+
+@pytest.mark.parametrize("probes", ["1", "2", "8"])
+@pytest.mark.parametrize("slots", ["64", "8192"])
+def test_probe_count_variants_exact(tmp_path, rng, monkeypatch, probes,
+                                    slots):
+    """NGS_DEDUP_PROBES (round 5): any probe-window length classifies
+    identically — rows that exhaust a shorter window route to the EXACT
+    host overflow path, so only device/host traffic shifts."""
+    paths, fq = _gen_many_distinct(tmp_path, rng, 3000, 2500)
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 2048
+    monkeypatch.setenv("NGS_BITMAP_LIMIT_BYTES", "1")
+    monkeypatch.setenv("NGS_DEDUP_TABLE_SLOTS", slots)
+    monkeypatch.setenv("NGS_DEDUP_PROBES", probes)
+    scheme, conv, me, plan, _ = setup(cfg)
+
+    acc = CountAccumulator(plan, conv)
+    assert acc.hashset is not None
+    n = decode_file(cfg, plan, scheme, acc)
+    acc.finalize()
+    assert n == 3000
+
+    acc_host, n_host = _host_keyed_reference(cfg, plan, scheme, conv)
+    np.testing.assert_array_equal(
+        acc.seq_errors.counters, acc_host.seq_errors.counters
+    )
+    assert acc.results_view().per_sample == acc_host.results_view().per_sample
