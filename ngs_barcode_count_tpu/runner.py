@@ -2025,7 +2025,12 @@ def _decode_dual_stream(
                     continue
                 # dispatch-only capture: the summed arrays are immutable
                 # functional values, so lanes resume immediately and the
-                # fetch/write happen in the background
+                # fetch/write happen in the background.  Gate queues
+                # (host-side quality) drain first — the frontier counts
+                # their batches, so the snapshot must too (dispatch-only
+                # as well: phase B is one jit per pending batch)
+                for lane in lanes:
+                    lane.flush_pending()
                 merged_state = lanes[0].dense_state
                 merged_counters = lanes[0].dense_counters
                 for lane in lanes[1:]:
@@ -2050,6 +2055,10 @@ def _decode_dual_stream(
     if errors:
         raise errors[0]
     for lane in lanes[1:]:
+        # drain each extra lane's pipelined work (host-gate queues)
+        # BEFORE summing its tensors — lane 0's queue drains in
+        # acc.finalize(); the others would silently drop their tails
+        lane.flush_pending()
         acc.dense_state = acc.dense_state + lane.dense_state
         acc.dense_counters = acc.dense_counters + lane.dense_counters
     acc._dual_streamed = True  # test hook: the branch really ran

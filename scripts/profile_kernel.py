@@ -129,17 +129,20 @@ def main():
     real_match = pdec._kernel_match
 
     def front_no_realign(plan_, basesf, lengths, is_read, scan_w_ref, TB,
-                         L, F_, O, O_pad, n_const, n_wild, max_const):
+                         L, F_, O, O_pad, n_const, n_wild, max_const,
+                         scan_packed=None, deint=False):
         const_ok, offset, has_exact, exact_off, o_idx, _ = real_front(
             plan_, basesf, lengths, is_read, scan_w_ref, TB, L, F_, O,
             O_pad, n_const, n_wild, max_const,
+            scan_packed=scan_packed, deint=deint,
         )
         return const_ok, offset, has_exact, exact_off, o_idx, (
-            basesf[:, :F_]
+            basesf if deint else basesf[:, :F_]
         )
 
     def front_no_select(plan_, basesf, lengths, is_read, scan_w_ref, TB,
-                        L, F_, O, O_pad, n_const, n_wild, max_const):
+                        L, F_, O, O_pad, n_const, n_wild, max_const,
+                        scan_packed=None, deint=False):
         # matmul + exact-offset only (no repair keys): isolates the
         # packed-key repair selection's cost against the current realign
         x1h = jnp.concatenate(
@@ -157,7 +160,10 @@ def main():
         ).astype(jnp.int32)
         has_exact = exact_off != pdec._BIG
         off = jnp.where(has_exact, exact_off, 0)
-        R = pdec._realign(basesf, off, L, O, TB, F_)
+        R = (
+            pdec._realign_deint(basesf, off, L, O, TB) if deint
+            else pdec._realign(basesf, off, L, O, TB, F_)
+        )
         return has_exact & is_read, off, has_exact, exact_off, o_idx, R
 
     def matchers_stub(R, W_all, metas, slot_mats, slot_w_refs, F_, TB):

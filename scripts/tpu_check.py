@@ -639,6 +639,87 @@ def _check_q4(workdir, results):
     }
 
 
+def _check_host_gate(workdir, results):
+    """Round-5 two-phase host quality gate (NGS_QUAL_WIRE=host) ==
+    in-kernel q-wire gate on the SAME binned-quality fixture as
+    dense_q4_binned: per-read gate wire down, host segment means,
+    1-bit mask up, deferred counter/count fold."""
+    import jax
+    import jax.numpy as jnp
+
+    from ngs_barcode_count_tpu import stats
+    from ngs_barcode_count_tpu.errors import MaxSeqErrors
+    from ngs_barcode_count_tpu.io.parallel_ingest import (
+        read_fastq_packed_parallel,
+    )
+    from ngs_barcode_count_tpu.ops import decode as dec
+    from ngs_barcode_count_tpu.ops import pallas_decode as pdec
+
+    scheme, conv, samples, sets = _inputs(random_barcode=False)
+    me = MaxSeqErrors.create(
+        None, 10, None, [6, 6, 6], None,
+        scheme.constant_region_length, 30.0,
+    )
+    plan = dec.make_plan(scheme, conv, me)
+    path = os.path.join(workdir, f"tpucheck_q4_{N_READS}.fastq")
+    if not os.path.exists(path):
+        results["host_gate"] = {
+            "equal": False, "error": "q4 fixture missing (run _check_q4)",
+        }
+        return
+    n_flat = plan.n_samples * plan.n_combos
+    c_hg = jnp.zeros(n_flat, jnp.int32)
+    ctr_hg = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    c_k = jnp.zeros(n_flat, jnp.int32)
+    ctr_k = jnp.zeros(stats.NUM_COUNTERS, jnp.int32)
+    sk = None
+    total = 0
+    for pb in read_fastq_packed_parallel(
+        path, min_width=scheme.length, batch_reads=BATCH, with_quals=True,
+    ):
+        pb = _rowmajor(pb)
+        n = np.array([pb.n_reads], np.int32)
+        lengths = np.asarray(pb.lengths)
+        if sk is None:
+            sk = pdec.build_pallas_packed_step(
+                plan, pb.width, qual_bits=pb.qual_bits
+            )
+        # in-kernel reference
+        c_k, ctr_k = sk(
+            c_k, ctr_k, pb.packed, lengths, pb.exc_idx, pb.exc_val, n,
+            pb.quals_packed, pb.qual_codebook,
+        )
+        # two-phase host gate: reconstruct the raw Phred matrix the
+        # ingest would have kept host-side under NGS_QUAL_WIRE=host
+        quals = np.asarray(dec.unpack_quals_wire(
+            jax.device_put(pb.quals_packed),
+            jax.device_put(pb.qual_codebook), pb.width, pb.qual_bits,
+        ))
+        out = dec.dense_gate_probe_packed(
+            plan, pb.packed, lengths, pb.exc_idx, pb.exc_val, pb.width, n,
+        )
+        wire = np.asarray(out["wire"])
+        cls = wire[:, 1]
+        applies = (cls >= 1) & (cls <= 3)
+        lowq = dec.host_lowq_mask(
+            plan, quals, wire[:, 0].astype(np.int64), applies
+        )
+        bits = np.packbits(lowq, bitorder="little")
+        c_hg, ctr_hg = dec.dense_gate_apply(
+            plan, c_hg, ctr_hg, out["flat"], out["cls"], bits
+        )
+        total += pb.n_reads
+        print(f"[tpu_check] host gate: {total}", flush=True)
+    eq = bool(jnp.array_equal(c_hg, c_k)) and bool(
+        jnp.array_equal(ctr_hg, ctr_k)
+    )
+    results["host_gate"] = {
+        "equal": eq,
+        "n_reads": total,
+        "counters": np.asarray(ctr_hg).tolist(),
+    }
+
+
 def _check_bitmap(workdir, results):
     """Fused-kernel bytemap step == XLA bytemap step on a small-combo
     random scheme (the CRISPR-UMI shape; round 4 moved this mode onto
@@ -831,6 +912,7 @@ def main():
     _check_sharded_n1(workdir, results)
     _check_bitmap(workdir, results)
     _check_q4(workdir, results)
+    _check_host_gate(workdir, results)
     _bench_hashset_device(workdir, results)
     ok = all(
         v.get("equal", True) for v in results.values() if isinstance(v, dict)

@@ -3,6 +3,8 @@ codebook packing must reconstruct the exact int8 tensor, fall back to
 raw beyond 16 distinct values, and leave every quality-gated engine's
 results bit-identical."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -377,6 +379,86 @@ def test_host_gate_checkpoint_resume(tmp_path, rng, monkeypatch):
     n_b = decode_file(cfg, plan, scheme, acc_b)
     acc_b.finalize()
     assert n_b == n_full == 1200
+    np.testing.assert_array_equal(
+        np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_b.seq_errors.counters, acc_full.seq_errors.counters
+    )
+
+
+def test_host_gate_dual_stream_bit_identical(tmp_path, rng, monkeypatch):
+    """Dual-stream lanes each own a host-gate pipeline; every lane's
+    queue must drain into the merge (a round-5 TPU A/B caught 2/3 of
+    counts silently dropped before the fix)."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 1100, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+
+    monkeypatch.setenv("NGS_DUAL_STREAM", "0")
+    n1, c1, v1 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "raw"},
+                                    monkeypatch)
+    monkeypatch.setenv("NGS_DUAL_STREAM", "3")
+    n3, c3, v3 = _counters_and_view(cfg, {"NGS_QUAL_WIRE": "host"},
+                                    monkeypatch)
+    assert n1 == n3 == 1100
+    np.testing.assert_array_equal(c1, c3)
+    assert v1 == v3
+    assert c1[-1] > 0 or c1[5] > 0
+
+
+def test_host_gate_dual_stream_checkpoint(tmp_path, rng, monkeypatch):
+    """Dual-stream + host gate + checkpointing: snapshots must include
+    every lane's pending gate batches (the frontier counts them)."""
+    from ngs_barcode_count_tpu import checkpoint as ckpt
+
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 4000, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+    monkeypatch.setenv("NGS_QUAL_WIRE", "host")
+    monkeypatch.setenv("NGS_DUAL_STREAM", "2")
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    acc_full = CountAccumulator(plan, conv)
+    n_full = decode_file(cfg, plan, scheme, acc_full)
+    acc_full.finalize()
+
+    # checkpointed dual-stream run: every snapshot interval forces the
+    # quiesce + gate-queue drain; resume from the LAST snapshot must
+    # reproduce the full counts
+    cfg2 = _mk_config(tmp_path, fq, paths)
+    cfg2.batch_size = 128
+    cfg2.min_average_quality_score = 25.0
+    cfg2.checkpoint_interval_s = 1e-9
+    acc_a = CountAccumulator(plan, conv)
+    n_a = decode_file(cfg2, plan, scheme, acc_a)
+    acc_a.finalize()
+    np.testing.assert_array_equal(
+        np.asarray(acc_a.dense_state), np.asarray(acc_full.dense_state)
+    )
+    assert os.path.exists(cfg2.checkpoint_path)
+
+    import numpy as _np
+
+    with _np.load(cfg2.checkpoint_path) as z:
+        done = int(z["total_reads"])
+    cfg2.resume = True
+    acc_b = CountAccumulator(plan, conv)
+    n_b = decode_file(cfg2, plan, scheme, acc_b)
+    acc_b.finalize()
+    assert n_b == n_full == 4000 and done <= n_b
     np.testing.assert_array_equal(
         np.asarray(acc_b.dense_state), np.asarray(acc_full.dense_state)
     )
