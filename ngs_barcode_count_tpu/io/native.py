@@ -34,7 +34,8 @@ class PackedReads:
 
     __slots__ = ("packed", "lengths", "exc_idx", "exc_val", "quals",
                  "n_reads", "width", "next_offset", "transposed",
-                 "range_id", "quals_packed", "qual_codebook", "qual_bits")
+                 "range_id", "quals_packed", "qual_codebook", "qual_bits",
+                 "qual_mode")
 
     def __init__(self, packed, lengths, exc_idx, exc_val, quals, n_reads,
                  width, next_offset=-1, transposed=False, range_id=0):
@@ -51,6 +52,10 @@ class PackedReads:
         self.quals_packed = None
         self.qual_codebook = None
         self.qual_bits = 0
+        # resolved quality-wire mode ("pack"/"raw"/"host") — set by
+        # parallel_ingest._maybe_pack_quals; the runner's two-phase
+        # host gate triggers on qual_mode == "host"
+        self.qual_mode = None
         self.n_reads = n_reads
         self.width = width
         # byte offset of the next unread record (-1 when unknown):

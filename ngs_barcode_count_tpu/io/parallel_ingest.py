@@ -32,7 +32,10 @@ _SENTINEL = None
 
 
 def _default_qual_wire() -> str:
-    """Quality wire mode when NGS_QUAL_WIRE is unset.
+    """Quality wire mode when NGS_QUAL_WIRE is unset and the caller gave
+    no consumer-aware choice (runner.decode_file picks "host" for dense
+    single-device runs on slow measured links — +95% config-3 e2e vs the
+    2-bit wire, same-phase A/B, BENCH.md round 5).
 
     - "pack": 2/4-bit per-batch codebook wire, decoded in-kernel.
     - "raw": raw Phred bytes.
@@ -44,11 +47,13 @@ def _default_qual_wire() -> str:
     return "pack"
 
 
-def _qual_wire_mode() -> str:
-    return os.environ.get("NGS_QUAL_WIRE") or _default_qual_wire()
+def _qual_wire_mode(override: str | None = None) -> str:
+    return (
+        os.environ.get("NGS_QUAL_WIRE") or override or _default_qual_wire()
+    )
 
 
-def _maybe_pack_quals(pb: PackedReads) -> None:
+def _maybe_pack_quals(pb: PackedReads, qual_mode: str | None = None) -> None:
     """Lossless 4-bit Phred wire (VERDICT r3 weak #4): Illumina RTA bins
     quality to 4-8 distinct values, so a per-batch value codebook packs
     two bases per byte (FOUR when <= 4 distinct values) — halving the quality bytes that dominate
@@ -58,7 +63,10 @@ def _maybe_pack_quals(pb: PackedReads) -> None:
     (~3 numpy passes over the batch); the runner reconstructs the
     identical int8 tensor on device (ops.decode.unpack_quals_wire).
     NGS_QUAL_WIRE=raw disables."""
-    if pb.quals is None or _qual_wire_mode() != "pack":
+    if pb.quals is None:
+        return
+    pb.qual_mode = _qual_wire_mode(qual_mode)
+    if pb.qual_mode != "pack":
         return
     q8 = pb.quals.view(np.uint8)
     hist = np.bincount(q8.reshape(-1), minlength=256)
@@ -84,7 +92,8 @@ def _maybe_pack_quals(pb: PackedReads) -> None:
     pb.quals = None
 
 
-def _maybe_transpose(pb: PackedReads) -> PackedReads:
+def _maybe_transpose(pb: PackedReads,
+                     qual_mode: str | None = None) -> PackedReads:
     """Column-major wire layout: bytes from the same read position land
     adjacent, so the relay's stream compression sees long repetitive
     runs (constants/adapters align across reads) — measured +29% raw
@@ -103,7 +112,7 @@ def _maybe_transpose(pb: PackedReads) -> PackedReads:
     if os.environ.get("NGS_WIRE_LAYOUT", default) == "col":
         if os.environ.get("NGS_WIRE_SORT", "1") == "1" and pb.n_reads > 1:
             _sort_batch_rows(pb)
-        _maybe_pack_quals(pb)  # after the sort (it reorders pb.quals)
+        _maybe_pack_quals(pb, qual_mode)  # after the sort (it reorders)
         pb.packed = np.ascontiguousarray(pb.packed.T)
         if pb.quals_packed is not None:
             # same col-major trick for the quality nibbles: per-position
@@ -111,7 +120,7 @@ def _maybe_transpose(pb: PackedReads) -> PackedReads:
             pb.quals_packed = np.ascontiguousarray(pb.quals_packed.T)
         pb.transposed = True
     else:
-        _maybe_pack_quals(pb)
+        _maybe_pack_quals(pb, qual_mode)
     return pb
 
 
@@ -188,6 +197,7 @@ def read_fastq_packed_parallel(
     start_offset: int = 0,
     byte_range: tuple[int, int] | None = None,
     ranges: list[tuple[int, int]] | None = None,
+    qual_mode: str | None = None,
 ) -> Iterator[PackedReads]:
     """Yields PackedReads from T parallel range readers (plain FASTQ) or
     one background reader (gzip / tiny files / resume).
@@ -198,10 +208,15 @@ def read_fastq_packed_parallel(
 
     ``ranges`` overrides the reader pool with explicit byte ranges
     (checkpoint/resume: each range restarts at its saved frontier
-    offset); batches carry ``range_id`` = index into this list."""
+    offset); batches carry ``range_id`` = index into this list.
+
+    ``qual_mode`` is the consumer-aware quality-wire choice (pack/raw/
+    host) — decode_file picks it from the accumulator mode + link probe;
+    NGS_QUAL_WIRE still overrides everything."""
     if ranges is not None:
         yield from _from_ranges(
-            path, ranges, min_width, batch_reads, with_quals, queue_depth
+            path, ranges, min_width, batch_reads, with_quals, queue_depth,
+            qual_mode,
         )
         return
     if n_threads <= 0:
@@ -248,7 +263,8 @@ def read_fastq_packed_parallel(
         else:
             ranges = [(r_start, r_end)]
         yield from _from_ranges(
-            path, ranges, min_width, batch_reads, with_quals, queue_depth
+            path, ranges, min_width, batch_reads, with_quals, queue_depth,
+            qual_mode,
         )
         return
     if gz and n_threads > 1 and start_offset == 0 and size > (8 << 20):
@@ -287,7 +303,7 @@ def read_fastq_packed_parallel(
             ):
                 if stop.is_set():
                     return
-                q.put(_maybe_transpose(pb))
+                q.put(_maybe_transpose(pb, qual_mode))
         except BaseException as e:  # surfaced in the consumer
             errors.append(e)
         finally:
@@ -303,7 +319,7 @@ def read_fastq_packed_parallel(
             for pb in it:
                 if stop.is_set():
                     return
-                q.put(_maybe_transpose(pb))
+                q.put(_maybe_transpose(pb, qual_mode))
         except BaseException as e:
             errors.append(e)
         finally:
@@ -347,6 +363,7 @@ def _from_ranges(
     batch_reads: int,
     with_quals: bool,
     queue_depth: int,
+    qual_mode: str | None = None,
 ) -> Iterator[PackedReads]:
     """Producer pool over explicit byte ranges (the byte_range path)."""
     q: queue.Queue = queue.Queue(maxsize=queue_depth)
@@ -361,7 +378,7 @@ def _from_ranges(
             ):
                 if stop.is_set():
                     return
-                q.put(_maybe_transpose(pb))
+                q.put(_maybe_transpose(pb, qual_mode))
         except BaseException as e:
             errors.append(e)
         finally:

@@ -30,7 +30,6 @@ from ngs_barcode_count_tpu.counting import (
 from ngs_barcode_count_tpu.errors import MaxSeqErrors
 from ngs_barcode_count_tpu.io import batcher as batcher_mod
 from ngs_barcode_count_tpu.io import fastq as fastq_mod
-from ngs_barcode_count_tpu.io.parallel_ingest import _qual_wire_mode
 from ngs_barcode_count_tpu.ops import decode as dec
 from ngs_barcode_count_tpu.output import ResultsView, WriteFiles, WriterConfig
 from ngs_barcode_count_tpu.scheme import SequenceScheme, parse_scheme
@@ -599,7 +598,7 @@ class CountAccumulator:
         # 1-bit/read mask goes back up (ops.decode.dense_gate_*)
         if (
             plan.min_quality > 0.0
-            and _qual_wire_mode() == "host"
+            and getattr(pb, "qual_mode", None) == "host"
             and plan.dense_counts
             and getattr(pb, "quals", None) is not None
             and getattr(pb, "quals_packed", None) is None
@@ -1606,6 +1605,26 @@ def decode_file(
         and native_ok
         and max(scheme_slots) <= 21
     )
+    # Consumer-aware quality-wire choice (NGS_QUAL_WIRE still wins):
+    # dense single-device runs on slow measured links use the two-phase
+    # HOST gate — no Phred bytes on the wire, +95% config-3 e2e vs the
+    # 2-bit codebook wire in a same-phase A/B (BENCH.md round 5);
+    # everything else (keyed/engines/sharded, fast links) packs.
+    qual_mode = None
+    if plan.min_quality > 0.0 and use_packed:
+        gate_ok = (
+            plan.dense_counts
+            and acc.engine is None
+            and acc.hashset is None
+            and acc.hashset_engine is None
+            and acc.bitmap is None
+            and acc.shardings is None
+        )
+        if gate_ok:
+            from ngs_barcode_count_tpu.utils import linkprobe
+
+            if linkprobe.is_slow_link(allow_init=True):
+                qual_mode = "host"
     # Checkpointing covers every wire-format configuration (round 4):
     # single-device dense/keyed/hashset, the sharded mesh engines
     # (snapshot = merged canonical tensors, checkpoint.py), and
@@ -1706,6 +1725,7 @@ def decode_file(
             checkpointing=checkpointing, ckpt_path=ckpt_path,
             fp_tag=fp_tag, start_offset=start_offset,
             resume_ranges=resume_ranges, total_reads0=total_reads,
+            qual_mode=qual_mode,
         )
     if use_packed or use_packed_keyed:
         from ngs_barcode_count_tpu import checkpoint as ckpt
@@ -1735,6 +1755,7 @@ def decode_file(
             n_threads=config.threads,
             byte_range=byte_range,
             ranges=ranges,
+            qual_mode=qual_mode,
         ):
             step_fn(pb)
             total_reads += pb.n_reads
@@ -1851,6 +1872,7 @@ def _decode_dual_stream(
     start_offset: int = 0,
     resume_ranges=None,
     total_reads0: int = 0,
+    qual_mode: str | None = None,
 ) -> int:
     """N dispatch threads, N count lanes, one merge (see decode_file).
 
@@ -1908,6 +1930,7 @@ def _decode_dual_stream(
         n_threads=config.threads,
         start_offset=start_offset,
         ranges=ranges,
+        qual_mode=qual_mode,
     )
     lanes = [acc] + [
         CountAccumulator(plan, acc.conv) for _ in range(n_lanes - 1)

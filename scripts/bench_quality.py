@@ -128,12 +128,14 @@ def main():
 
     import jax
 
-    from ngs_barcode_count_tpu.io.parallel_ingest import (
-        _default_qual_wire,
-    )
+    from ngs_barcode_count_tpu.utils import linkprobe
 
     best_mode = max(results, key=lambda m: results[m]["sustained"])
-    default_mode = _default_qual_wire()
+    # the shipped default: decode_file picks "host" for dense runs on
+    # slow measured links, "pack" elsewhere
+    default_mode = (
+        "host" if linkprobe.is_slow_link(allow_init=True) else "pack"
+    )
     rps = results.get(default_mode, results[modes[0]])["sustained"]
     print(json.dumps({
         "metric": "reads_per_second",

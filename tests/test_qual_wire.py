@@ -465,3 +465,40 @@ def test_host_gate_dual_stream_checkpoint(tmp_path, rng, monkeypatch):
     np.testing.assert_array_equal(
         acc_b.seq_errors.counters, acc_full.seq_errors.counters
     )
+
+
+def test_host_gate_is_default_on_slow_link(tmp_path, rng, monkeypatch):
+    """With no NGS_QUAL_WIRE set, dense single-device runs on a slow
+    MEASURED link (NGS_LINK_RT_MS=40) choose the host gate; fast links
+    keep the packed wire."""
+    paths = write_inputs(tmp_path)
+    cfg0 = _mk_config(tmp_path, "x.fastq", paths)
+    scheme, *_ = setup(cfg0)
+    fq, reads, quals = gen_fastq(
+        tmp_path, scheme, 600, rng, quality_range=(10, 41),
+    )
+    cfg = _mk_config(tmp_path, fq, paths)
+    cfg.batch_size = 128
+    cfg.min_average_quality_score = 25.0
+    monkeypatch.delenv("NGS_QUAL_WIRE", raising=False)
+    monkeypatch.setenv("NGS_DUAL_STREAM", "0")
+
+    scheme, conv, me, plan, _ = setup(cfg)
+    monkeypatch.setenv("NGS_LINK_RT_MS", "40")
+    acc_slow = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc_slow)
+    acc_slow.finalize()
+    assert hasattr(acc_slow, "_pending_gate")  # the host gate engaged
+
+    monkeypatch.setenv("NGS_LINK_RT_MS", "0.3")
+    acc_fast = CountAccumulator(plan, conv)
+    decode_file(cfg, plan, scheme, acc_fast)
+    acc_fast.finalize()
+    assert not hasattr(acc_fast, "_pending_gate")
+
+    np.testing.assert_array_equal(
+        np.asarray(acc_slow.dense_state), np.asarray(acc_fast.dense_state)
+    )
+    np.testing.assert_array_equal(
+        acc_slow.seq_errors.counters, acc_fast.seq_errors.counters
+    )
