@@ -388,7 +388,7 @@ def main():
                     "kernel_tflops": round(kernel_tflops, 2),
                     "kernel_mfu_pct_of_bf16_peak": round(mfu_pct, 2),
                     "kernel_mfu_useful_pct": round(mfu_useful_pct, 2),
-                    "kernel_bound_by": "vpu_relayout (see BENCH.md r4)",
+                    "kernel_bound_by": "structure+relayout (BENCH.md r5 roofline)",
                     "ingest_reads_per_s": round(ingest_rps, 1),
                     "link_probe_mbps_random_bytes": link_mbps,
                     "link_ceiling_reads_per_s": link_ceiling_rps,
