@@ -476,6 +476,51 @@ class CountAccumulator:
                 self._pallas_hashset_steps[key] = None
         return self._pallas_hashset_steps[key]
 
+    def _throttle(self) -> None:
+        """Bound the async dispatch frontier of the DENSE paths.
+
+        jax dispatch is eager and the relay link gives it no
+        backpressure: a 400M-read run dispatched its ENTIRE input within
+        ~90s while the device was ~8 minutes behind, so (a) checkpoint
+        snapshots — which wait on device values — landed only at run
+        end, (b) a kill lost the whole in-flight backlog (observed:
+        276M of 400M reads re-decoded on resume), and (c) host RAM
+        staged gigabytes of pending transfers.  Every STRIDE batches
+        this blocks on the counter vector from DEPTH batches ago (6
+        ints; np.asarray is the only real sync through the relay), so
+        the frontier stays ~DEPTH batches ahead — deep enough to
+        pipeline transfers, shallow enough that snapshots and kills are
+        near-current.  NGS_DISPATCH_DEPTH=0 disables."""
+        if self.dense_counters is None:
+            return
+        if not hasattr(self, "_inflight_tokens"):
+            from collections import deque
+
+            self._inflight_tokens = deque()
+            self._throttle_count = 0
+            self._throttle_depth = int(
+                os.environ.get("NGS_DISPATCH_DEPTH", 32)
+            )
+            self._throttle_stride = max(
+                int(os.environ.get("NGS_DISPATCH_STRIDE", 8)), 1
+            )
+        depth = self._throttle_depth
+        stride = self._throttle_stride
+        if depth <= 0:
+            return
+        self._throttle_count += 1
+        if self._throttle_count % stride:
+            return
+        # a DERIVED scalar, not the chained buffer: later steps donate
+        # the live counters and would delete a held reference
+        if not hasattr(self, "_throttle_sum"):
+            import jax
+
+            self._throttle_sum = jax.jit(lambda c: c.sum())
+        self._inflight_tokens.append(self._throttle_sum(self.dense_counters))
+        while len(self._inflight_tokens) > max(depth // stride, 1):
+            np.asarray(self._inflight_tokens.popleft())
+
     def _warn_odd_rows(self, rows: int) -> None:
         """Every fused Pallas step gates on rows % 256 == 0 (the kernel
         tiles in 256-row blocks); default ingest always emits static
@@ -1758,6 +1803,7 @@ def decode_file(
             qual_mode=qual_mode,
         ):
             step_fn(pb)
+            acc._throttle()
             total_reads += pb.n_reads
             n_batches += 1
             meter.update(pb.n_reads)
@@ -1846,6 +1892,7 @@ def decode_file(
             min_width=min_width,
         ):
             acc.step(batch)
+            acc._throttle()
             total_reads += batch.n_reads
             n_batches += 1
             meter.update(batch.n_reads)
@@ -1972,6 +2019,7 @@ def _decode_dual_stream(
                 if pb is None:
                     return
                 lane.step_packed(pb)
+                lane._throttle()
                 with stats_lock:
                     totals[i] += pb.n_reads
                     if checkpointing:
