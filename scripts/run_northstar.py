@@ -158,7 +158,19 @@ def run_killed_then_resumed(kind, fastq, outdir, prefix, ckpt_s, batch,
         assert time.time() < deadline, "no checkpoint within budget"
         time.sleep(0.5)
     t_first_ckpt = time.time()
-    time.sleep(kill_after_ckpt_s)
+    if os.environ.get("NGS_NS_KILL_AFTER_SNAPSHOT") == "1":
+        # kill right AFTER the next snapshot lands: the resume then
+        # re-decodes only a couple of seconds of work, so the sustained
+        # number reflects the pipeline, not the kill placement
+        m0 = os.path.getmtime(ckpt)
+        deadline2 = time.time() + 120
+        while time.time() < deadline2 and p.poll() is None:
+            if os.path.getmtime(ckpt) != m0:
+                break
+            time.sleep(0.5)
+        time.sleep(2.0)
+    else:
+        time.sleep(kill_after_ckpt_s)
     assert p.poll() is None, "phase A finished before the kill"
     os.kill(p.pid, signal.SIGKILL)
     t_kill = time.time()
