@@ -483,3 +483,71 @@ def test_fuzzed_packed_input_keyed_kernel(tmp_path, seed):
             err_msg=text,
         )
         checked += 1
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzzed_host_gate_vs_oracle(tmp_path, seed, monkeypatch):
+    """Fuzzed schemes through the round-5 two-phase HOST quality gate
+    (NGS_QUAL_WIRE=host): counters and per-sample counts must equal the
+    string oracle exactly, across random schemes (explicit-N runs,
+    optional sample region), fuzzed reads, and a forced quality gate.
+    Only dense-eligible draws exercise the gate; others fall through to
+    the normal path and still must match."""
+    from ngs_barcode_count_tpu.io import native
+    from ngs_barcode_count_tpu.runner import (
+        CountAccumulator, RunConfig, decode_file, setup,
+    )
+    from ngs_barcode_count_tpu import stats as S
+    from tests.test_end_to_end import oracle_counts
+
+    if not native.available():
+        pytest.skip("native codec not built")
+    monkeypatch.setenv("NGS_QUAL_WIRE", "host")
+    rng = np.random.default_rng(7100 + seed)
+    text = _random_scheme_text(rng)
+    scheme = parse_scheme_text(text)
+    conv, samples, sets = _tables(rng, scheme)
+
+    fmt = tmp_path / "scheme.txt"
+    fmt.write_text(text)
+    paths = {}
+    if samples:
+        sf = tmp_path / "samples.csv"
+        sf.write_text(
+            "Barcode,ID\n" + "".join(f"{b},S{i}\n"
+                                     for i, b in enumerate(samples))
+        )
+        paths["samples"] = str(sf)
+    cf = tmp_path / "bc.csv"
+    cf.write_text(
+        "Barcode,ID,Num\n" + "".join(
+            f"{b},B{i}_{j},{i + 1}\n"
+            for i, s in enumerate(sets) for j, b in enumerate(s)
+        )
+    )
+    reads, quals = _reads(rng, scheme, samples, sets, 300)
+    fq = tmp_path / "r.fastq"
+    simulate.write_fastq(str(fq), reads, quals)
+
+    cfg = RunConfig(
+        fastq=str(fq), format=str(fmt),
+        sample_barcodes_option=paths.get("samples"),
+        counted_barcodes_option=str(cf),
+        output_dir=str(tmp_path), prefix="fz", batch_size=128,
+        progress=False, min_average_quality_score=30.0,
+    )
+    scheme2, conv2, me, plan, _ = setup(cfg)
+    acc = CountAccumulator(plan, conv2)
+    n = decode_file(cfg, plan, scheme2, acc)
+    acc.finalize()
+    assert n == len(reads)
+
+    exp, tallies = oracle_counts(cfg, reads, quals)
+    c = acc.seq_errors.counters
+    assert c[S.MATCHED] == tallies["matched"], (seed, text)
+    assert c[S.CONSTANT_REGION] == tallies["constant_region"], (seed, text)
+    assert c[S.SAMPLE_BARCODE] == tallies["sample_barcode"], (seed, text)
+    assert c[S.BARCODE] == tallies["barcode"], (seed, text)
+    assert c[S.LOW_QUALITY] == tallies["low_quality"], (seed, text)
+    assert c[S.DUPLICATES] == tallies["duplicates"], (seed, text)
+    assert acc.results_view().per_sample == exp, (seed, text)
